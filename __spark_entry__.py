@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator (SURVEY.md §2) as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` carries the DuckDB
+twin (mmgraphrag_spark.oracle). Column names are aliased identically on both
+sides.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mmgraphrag_spark import api, oracle  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction (nodes join edges stats) on sf0.001."""
+    return api.edges(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_spans": api.spans,
+        "kg_chunks": api.chunks,
+        "kg_mentions": api.mentions,
+        "kg_triples": api.triples,
+        "kg_img_mentions": lambda s, d: api.img_mentions(s, d).select(
+            "doc_id", "entity_name", "entity_type", "description", "source_id"
+        ),
+        "kg_img_triples": lambda s, d: api.img_triples(s, d).select(
+            "doc_id", "subj", "obj", "description", "weight", "source_id", "order"
+        ),
+        "kg_nodes": api.nodes,
+        "kg_edges": api.edges,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_spans": oracle.q(oracle.spans_select()),
+        "kg_chunks": oracle.q(oracle.chunks_select()),
+        "kg_mentions": oracle.q(oracle.mentions_select()),
+        "kg_triples": oracle.q(oracle.triples_select()),
+        "kg_img_mentions": oracle.q(oracle.img_mentions_select()),
+        "kg_img_triples": oracle.q(oracle.img_triples_select()),
+        "kg_nodes": oracle.q(oracle.nodes_select()),
+        "kg_edges": oracle.q(oracle.edges_select()),
+    }

@@ -1,0 +1,77 @@
+"""Public DataFrame-in/DataFrame-out API (SURVEY.md §3.3).
+
+Each function composes the package operators into one logical plan from the
+testdata ``documents.parquet`` at ``sf_dir``; Catalyst fuses/prunes across the
+composition. These are the driver-checked ``queries()`` bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import DEFAULT, PipelineConfig
+from .operators import canonicalize as canon
+from .operators import chunker, extractor, media
+from . import synth
+
+
+def spans(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return synth.flat_spans(spark, sf_dir, cfg)
+
+
+def docs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return synth.interleaved_docs(spark, sf_dir, cfg)
+
+
+def chunks(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return chunker.chunk_docs(docs(spark, sf_dir, cfg), cfg)
+
+
+def mentions(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    m, _ = extractor.extract_mentions_and_triples(chunks(spark, sf_dir, cfg), cfg=cfg)
+    return m
+
+
+def triples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    _, t = extractor.extract_mentions_and_triples(chunks(spark, sf_dir, cfg), cfg=cfg)
+    return t
+
+
+def media_table(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return media.media_spans(spans(spark, sf_dir, cfg))
+
+
+def img_mentions(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return media.image_mentions(media_table(spark, sf_dir, cfg), cfg)
+
+
+def img_triples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return media.image_triples(media_table(spark, sf_dir, cfg), cfg)
+
+
+def all_mentions(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    text = mentions(spark, sf_dir, cfg).select(
+        "entity_name", "entity_type", "description", "source_id"
+    )
+    img = img_mentions(spark, sf_dir, cfg).select(
+        "entity_name", "entity_type", "description", "source_id"
+    )
+    return text.unionByName(img)
+
+
+def all_triples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    text = triples(spark, sf_dir, cfg).select(
+        "subj", "obj", "description", "weight", "source_id", "order"
+    )
+    img = img_triples(spark, sf_dir, cfg).select(
+        "subj", "obj", "description", "weight", "source_id", "order"
+    )
+    return text.unionByName(img)
+
+
+def nodes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return canon.build_nodes(all_mentions(spark, sf_dir, cfg))
+
+
+def edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return canon.build_edges(all_triples(spark, sf_dir, cfg))

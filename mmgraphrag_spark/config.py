@@ -1,0 +1,56 @@
+"""Pipeline configuration.
+
+One plain dataclass replaces the reference's dataclass→CSV→ast.literal_eval
+round-trip (/root/reference/mmgraphrag/mmgraphrag.py:26-92,
+/root/reference/mmgraphrag/base.py:164-185): config flows as Python values,
+never through the filesystem.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+GRAPH_FIELD_SEP = "<SEP>"  # reference: /root/reference/mmgraphrag/prompt.py:1
+TUPLE_DELIM = "<|>"  # reference prompt delimiters: prompt.py:189-192
+RECORD_DELIM = "##"
+COMPLETE_DELIM = "<|COMPLETE|>"
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # chunking — reference uses tiktoken windows 1200/100
+    # (/root/reference/mmgraphrag/preprocessing.py:75-77); we use whitespace
+    # tokens with the same sliding-window semantics, sized so the small
+    # synthetic docs still produce multi-chunk coverage.
+    chunk_max_tokens: int = 40
+    chunk_overlap_tokens: int = 8
+
+    # spans synthesis (deterministic derivation from the documents table)
+    span_words: int = 12          # words per text span
+    media_every: int = 4          # media span after every Nth text span
+    media_doc_mod: int = 3        # docs with doc_id % mod == 0 carry media
+    caption_words: int = 5        # caption = first N words of preceding span
+
+    # deterministic mock extractor (stands in for the LLM, like the
+    # reference's response cache does): a token is an entity mention iff
+    # len(token) >= mention_min_len; type CONCEPT if len >= concept_min_len.
+    mention_min_len: int = 5
+    concept_min_len: int = 6
+
+    # canonicalization
+    salt_buckets: int = 8         # salted pre-aggregation fan-out for hub keys
+
+    # fusion
+    fusion_eps: float = 0.5       # DBSCAN eps, reference fusion.py:245-251
+    fusion_knn: int = 3           # kNN label transfer fan-in, fusion.py:256-267
+
+    # similarity / dedup
+    minhash_perms: int = 16
+    minhash_bands: int = 4
+    shingle_size: int = 3
+    embedding_round: int = 4      # rounding for float-parity with the oracle
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT = PipelineConfig()

@@ -1,0 +1,151 @@
+"""A1/A2 — entity & edge canonicalization (the merge/upsert group-bys).
+
+Reference semantics (/root/reference/mmgraphrag/text2graph.py:136-272):
+
+* node merge per entity_name: entity_type = **mode** (Counter order;
+  we pin the tie-break to (count desc, entity_type asc) for cross-partition
+  determinism, documented §4.2 of SURVEY.md); description = '<SEP>'-joined
+  **sorted distinct**; source_id = '<SEP>'-joined distinct (we sort it too —
+  the reference's set order is CPython-dict incidental, sorting is the only
+  parallel-deterministic choice).
+* edge merge per undirected (least,greatest) key: weight = sum, order = min
+  (default 1), description/source_id as above.
+* stub rule: edge endpoints missing from nodes get an '"UNKNOWN"'-typed node
+  carrying the edge's source_id/description (text2graph.py:252-261).
+
+Scale notes: one hash-shuffle each on entity_name / (subj,obj); all aggregates
+(count, sum, min, collect_set) have map-side partial aggregation, so hub
+entities (Zipf head) arrive at the reducer pre-combined per mapper. For
+extreme skew the ``salted=True`` path does an explicit two-phase aggregate:
+groupBy(key, salt) partials then groupBy(key) finals — the aggregates are all
+commutative+associative (sum/min/set-union/count-sum) so the rewrite is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import GRAPH_FIELD_SEP
+
+_SEP = GRAPH_FIELD_SEP
+
+
+def _mode_type(pairs: DataFrame, key: str = "entity_name") -> DataFrame:
+    """Deterministic mode of entity_type per key: (count desc, type asc)."""
+    cnt = pairs.groupBy(key, "entity_type").agg(F.count(F.lit(1)).alias("cnt"))
+    win = Window.partitionBy(key).orderBy(F.desc("cnt"), F.asc("entity_type"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(key, "entity_type")
+    )
+
+
+def build_nodes(mentions: DataFrame, salted: bool = False, buckets: int = 8) -> DataFrame:
+    """A1: mentions -> nodes(entity_name, entity_type, description, source_id)."""
+    if salted:
+        salt = F.pmod(F.xxhash64("description", "source_id"), F.lit(buckets))
+        partial = (
+            mentions.withColumn("salt", salt)
+            .groupBy("entity_name", "salt")
+            .agg(
+                F.collect_set("description").alias("ds"),
+                F.collect_set("source_id").alias("ss"),
+            )
+        )
+        agg = partial.groupBy("entity_name").agg(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("ds")))), _SEP
+            ).alias("description"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("ss")))), _SEP
+            ).alias("source_id"),
+        )
+    else:
+        agg = mentions.groupBy("entity_name").agg(
+            F.array_join(F.array_sort(F.collect_set("description")), _SEP).alias(
+                "description"
+            ),
+            F.array_join(F.array_sort(F.collect_set("source_id")), _SEP).alias(
+                "source_id"
+            ),
+        )
+    top = _mode_type(mentions.select("entity_name", "entity_type"))
+    # both sides are already hash-partitioned by entity_name → co-located join
+    return agg.join(top, "entity_name").select(
+        "entity_name", "entity_type", "description", "source_id"
+    )
+
+
+def build_edges(triples: DataFrame, salted: bool = False, buckets: int = 8) -> DataFrame:
+    """A2: triples -> edges(src, dst, weight, description, source_id, order).
+
+    Expects canonical (subj, obj) = (least, greatest) from the decoder.
+    """
+    t = triples.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        "weight", "description", "source_id", "order",
+    )
+    if salted:
+        salt = F.pmod(F.xxhash64("source_id", "description"), F.lit(buckets))
+        partial = (
+            t.withColumn("salt", salt)
+            .groupBy("src", "dst", "salt")
+            .agg(
+                F.sum("weight").alias("w"),
+                F.min("order").alias("o"),
+                F.collect_set("description").alias("ds"),
+                F.collect_set("source_id").alias("ss"),
+            )
+        )
+        return partial.groupBy("src", "dst").agg(
+            F.sum("w").alias("weight"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("ds")))), _SEP
+            ).alias("description"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("ss")))), _SEP
+            ).alias("source_id"),
+            F.min("o").alias("order"),
+        )
+    return t.groupBy("src", "dst").agg(
+        F.sum("weight").alias("weight"),
+        F.array_join(F.array_sort(F.collect_set("description")), _SEP).alias(
+            "description"
+        ),
+        F.array_join(F.array_sort(F.collect_set("source_id")), _SEP).alias("source_id"),
+        F.min("order").alias("order"),
+    )
+
+
+def add_stub_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Stub rule: every edge endpoint exists as a node (text2graph.py:252-261).
+
+    Missing endpoints become UNKNOWN-typed nodes carrying the edge's
+    description/source_id (first edge by (src,dst) order for determinism).
+    """
+    endpoints = edges.select(
+        F.explode(F.array("src", "dst")).alias("entity_name"),
+        "description", "source_id",
+    )
+    win = Window.partitionBy("entity_name").orderBy("description", "source_id")
+    missing = (
+        endpoints.join(nodes.select("entity_name"), "entity_name", "left_anti")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity_name",
+            F.lit("UNKNOWN").alias("entity_type"),
+            "description", "source_id",
+        )
+    )
+    return nodes.unionByName(missing)
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """A5: node degree from the undirected edge list."""
+    return (
+        edges.select(F.explode(F.array("src", "dst")).alias("entity_name"))
+        .groupBy("entity_name")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -1,0 +1,198 @@
+"""E1–E5 — mention detection + (subj, pred, obj) triple extraction.
+
+Two halves, mirroring the reference split between "ask the model" and "parse
+the answer" (/root/reference/mmgraphrag/text2graph.py:274-457):
+
+1. **Emitter (E1)** — a pluggable ``mapInPandas`` extractor that turns chunk
+   content into the reference's record grammar::
+
+       ("entity"<|>"NAME"<|>"TYPE"<|>"description")##
+       ("relationship"<|>"SRC"<|>"TGT"<|>"description"<|>weight)##<|COMPLETE|>
+
+   (delimiters: /root/reference/mmgraphrag/prompt.py:189-192). In production
+   this is a batched LLM-endpoint client; here it is a **deterministic mock**
+   (the reference itself ships replayable runs via its LLM response cache,
+   example_output/kv_store_multimodel_llm_response_cache.json): a token is an
+   entity mention iff len >= mention_min_len; entity type derives from token
+   length and parity of position; a relationship joins each consecutive pair
+   of mentions. All pandas ops are column-vectorized (no Python row loop).
+
+2. **Parser (E2–E5)** — pure column expressions: split on ``##`` /
+   ``<|COMPLETE|>`` (base.py:58-63), ``regexp_extract('\\((.*)\\)')`` +
+   split on ``<|>`` (text2graph.py:378-387), arity + tag filters (P2,
+   text2graph.py:54,118), quote-strip + upper-case (P4, text2graph.py:57),
+   float-regex weight parse with 1.0 fallback (P5, base.py:118-119,
+   text2graph.py:125-127). Entirely JVM-side / whole-stage codegen.
+
+Scale notes: the emitter is the only Python on this path and is Arrow-batched;
+the parser explodes records (bounded fan-out per chunk) and never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT, PipelineConfig
+
+EXTRACTION_SCHEMA = "doc_id string, chunk_id string, output string"
+
+FLOAT_RE = r"^[-+]?[0-9]*\.?[0-9]+$"  # reference is_float_regex, base.py:118-119
+
+
+def mock_extract_batch(pdf, cfg: PipelineConfig = DEFAULT):
+    """Vectorized deterministic extraction for one Arrow batch of chunks.
+
+    Grammar-compatible stand-in for the reference's LLM call; shared by the
+    Spark emitter and the pytest oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": [], "chunk_id": [], "output": []})
+    t = pdf[["doc_id", "chunk_id"]].copy()
+    t["tok"] = pdf["content"].str.split(" ")
+    t = t.explode("tok", ignore_index=True)
+    t["pos"] = t.groupby("chunk_id").cumcount()
+    tlen = t["tok"].str.len()
+    t = t[tlen >= cfg.mention_min_len].copy()
+
+    out = pdf[["doc_id", "chunk_id"]].copy()
+    if len(t) == 0:
+        out["output"] = "<|COMPLETE|>"
+        return out
+
+    tlen = t["tok"].str.len()
+    t["etype"] = np.where(
+        tlen >= cfg.concept_min_len,
+        "CONCEPT",
+        np.where(t["pos"] % 2 == 0, "TERM", "LABEL"),
+    )
+    t["name"] = t["tok"].str.upper()
+
+    ent = t.drop_duplicates(["chunk_id", "name", "etype", "tok"])
+    ent_rec = (
+        '("entity"<|>"' + ent["name"] + '"<|>"' + ent["etype"] + '"<|>"'
+        + ent["tok"] + " in " + ent["chunk_id"] + '")'
+    )
+    ent_out = ent_rec.groupby(ent["chunk_id"]).agg("##".join)
+
+    t["next_name"] = t.groupby("chunk_id")["name"].shift(-1)
+    pairs = t[(t["next_name"].notna()) & (t["next_name"] != t["name"])]
+    rel_rec = (
+        '("relationship"<|>"' + pairs["name"] + '"<|>"' + pairs["next_name"]
+        + '"<|>"co-occurs"<|>1.0)'
+    )
+    rel_out = rel_rec.groupby(pairs["chunk_id"]).agg("##".join)
+
+    merged = (
+        ent_out.rename("e").to_frame()
+        .join(rel_out.rename("r"), how="outer")
+        .fillna("")
+    )
+    merged["output"] = np.where(
+        merged["r"] == "", merged["e"], merged["e"] + "##" + merged["r"]
+    ) + "##<|COMPLETE|>"
+    out = out.merge(
+        merged[["output"]], left_on="chunk_id", right_index=True, how="left"
+    )
+    out["output"] = out["output"].fillna("<|COMPLETE|>")
+    return out[["doc_id", "chunk_id", "output"]]
+
+
+def extract_raw(
+    chunks: DataFrame,
+    extractor: Callable | None = None,
+    cfg: PipelineConfig = DEFAULT,
+) -> DataFrame:
+    """E1: chunks -> (doc_id, chunk_id, output grammar string).
+
+    ``extractor(pdf) -> pdf`` is the pluggable batch extractor (production:
+    LLM client with cache-table left-join J10; default: deterministic mock).
+    """
+    import pandas as pd
+
+    fn = extractor or (lambda pdf: mock_extract_batch(pdf, cfg))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    return chunks.select("doc_id", "chunk_id", "content").mapInPandas(
+        run, schema=EXTRACTION_SCHEMA
+    )
+
+
+def parse_records(raw: DataFrame) -> DataFrame:
+    """E2/E3: grammar string -> one row per record with parsed fields array."""
+    recs = raw.select(
+        "doc_id", "chunk_id",
+        F.explode(F.split("output", r"##|<\|COMPLETE\|>")).alias("rec"),
+    ).filter(F.length(F.trim("rec")) > 0)
+    return recs.select(
+        "doc_id", "chunk_id",
+        F.expr(
+            r"""transform(
+                  split(regexp_extract(rec, '\\((.*)\\)', 1), '<\\|>'),
+                  x -> regexp_replace(trim(x), '^"|"$', '')
+                )"""
+        ).alias("fields"),
+    ).filter(F.size("fields") >= 1)
+
+
+def decode_mentions(parsed: DataFrame) -> DataFrame:
+    """E4: entity records -> mentions(doc_id, chunk_id, entity_name, entity_type,
+    description, source_id). Distinct (the reference's per-name dict collapses
+    duplicate records within a chunk)."""
+    return (
+        parsed.filter((F.size("fields") >= 4) & (F.get("fields", F.lit(0)) == "entity"))
+        .select(
+            "doc_id", "chunk_id",
+            F.upper(F.trim(F.get("fields", F.lit(1)))).alias("entity_name"),
+            F.upper(F.trim(F.get("fields", F.lit(2)))).alias("entity_type"),
+            F.get("fields", F.lit(3)).alias("description"),
+            F.col("chunk_id").alias("source_id"),
+        )
+        .filter(F.length("entity_name") > 0)  # P3, text2graph.py:58-59
+        .distinct()
+    )
+
+
+def decode_triples(parsed: DataFrame) -> DataFrame:
+    """E5: relationship records -> triples with canonical undirected key
+    (least/greatest, reference edge-key sort text2graph.py:436-437) and
+    float-regex weight fallback (P5)."""
+    rels = parsed.filter(
+        (F.size("fields") >= 5) & (F.get("fields", F.lit(0)) == "relationship")
+    ).select(
+        "doc_id", "chunk_id",
+        F.upper(F.trim(F.get("fields", F.lit(1)))).alias("a"),
+        F.upper(F.trim(F.get("fields", F.lit(2)))).alias("b"),
+        F.get("fields", F.lit(3)).alias("description"),
+        F.when(
+            F.get("fields", F.lit(4)).rlike(FLOAT_RE), F.get("fields", F.lit(4)).cast("double")
+        ).otherwise(F.lit(1.0)).alias("weight"),
+    )
+    return (
+        rels.filter((F.length("a") > 0) & (F.length("b") > 0) & (F.col("a") != F.col("b")))
+        .select(
+            "doc_id", "chunk_id",
+            F.least("a", "b").alias("subj"),
+            F.greatest("a", "b").alias("obj"),
+            "description", "weight",
+            F.col("chunk_id").alias("source_id"),
+            F.lit(1).alias("order"),
+        )
+    )
+
+
+def extract_mentions_and_triples(
+    chunks: DataFrame,
+    extractor: Callable | None = None,
+    cfg: PipelineConfig = DEFAULT,
+) -> tuple[DataFrame, DataFrame]:
+    """The public E1–E5 composite: chunks -> (mentions, triples)."""
+    parsed = parse_records(extract_raw(chunks, extractor, cfg))
+    return decode_mentions(parsed), decode_triples(parsed)

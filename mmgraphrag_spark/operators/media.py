@@ -1,0 +1,178 @@
+"""Media path — S11 object detection (stubbed inference, real plumbing) and
+E7–E10 image entity/edge construction.
+
+Reference behavior (/root/reference/mmgraphrag/img2graph.py):
+* E7 whole-scene extraction: mm-LLM over the full image emits the same record
+  grammar as text (img2graph.py:419-441).
+* S11+E8: YOLO-seg crops objects, each crop becomes an ``IMG``-typed entity
+  (img2graph.py:279-384).
+* E10: the image itself becomes an ``ORI_IMG`` entity, and every scene/object
+  entity gets a containment edge to it with weight 10
+  (img2graph.py:443-480, weight at :472,478).
+
+Spark-first: media spans are rows (doc_id, media_ref, context, offset); scene
+entities derive from the caption/context text with the same deterministic
+mention rule as the text extractor; "object detection" derives deterministic
+pseudo-labels from the caption (the container has no vision libs — the real
+detector is the ``detect_objects_udf`` mapInPandas below with identical output
+schema, model inference stubbed). Everything else is pure column ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT, PipelineConfig
+
+OBJECT_SCHEMA = "doc_id string, media_ref string, label string, pos int"
+
+
+def media_spans(flat_spans: DataFrame) -> DataFrame:
+    """Flat spans -> media(doc_id, media_ref, context, media_offset)."""
+    return flat_spans.filter(F.col("kind") == "image").select(
+        "doc_id", "media_ref",
+        F.col("text").alias("context"),
+        F.col("offset").alias("media_offset"),
+    )
+
+
+def _caption_tokens(media: DataFrame) -> DataFrame:
+    return media.select(
+        "doc_id", "media_ref",
+        F.posexplode(F.split("context", " ")).alias("pos", "tok"),
+    )
+
+
+def scene_mentions(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """E7: whole-scene entity mentions from the media context text."""
+    toks = _caption_tokens(media)
+    return (
+        toks.filter(F.length("tok") >= cfg.mention_min_len)
+        .select(
+            "doc_id", "media_ref",
+            F.upper("tok").alias("entity_name"),
+            F.when(F.length("tok") >= cfg.concept_min_len, F.lit("CONCEPT"))
+            .when(F.col("pos") % 2 == 0, F.lit("TERM"))
+            .otherwise(F.lit("LABEL"))
+            .alias("entity_type"),
+            F.concat(F.col("tok"), F.lit(" in "), F.col("media_ref")).alias(
+                "description"
+            ),
+            F.col("media_ref").alias("source_id"),
+        )
+        .distinct()
+    )
+
+
+def detect_objects(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """S11 (deterministic fake): pseudo object labels from the caption.
+
+    A token of length in [4, mention_min_len) is treated as a detected object
+    label — stable, engine-agnostic, and skew-shaped like real detections
+    (few labels per image).
+    """
+    toks = _caption_tokens(media)
+    return (
+        toks.filter(
+            (F.length("tok") >= 4) & (F.length("tok") < cfg.mention_min_len)
+        )
+        .select("doc_id", "media_ref", F.col("tok").alias("label"), "pos")
+        .distinct()
+    )
+
+
+def detect_objects_udf(
+    media: DataFrame,
+    model_fn: Callable | None = None,
+    cfg: PipelineConfig = DEFAULT,
+) -> DataFrame:
+    """S11 (real plumbing): Arrow-batched detector over media partitions.
+
+    ``model_fn(pdf) -> pdf[doc_id, media_ref, label, pos]`` runs batched
+    inference (YOLO-style) given media refs; executors would fetch bytes by
+    ``media_ref`` — bytes never cross the driver (reference reads files
+    per-image on one process, img2graph.py:351-367). Default = deterministic
+    fake matching :func:`detect_objects` exactly (tested).
+    """
+    import pandas as pd
+
+    lo, hi = 4, cfg.mention_min_len
+
+    def fake(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[["doc_id", "media_ref"]].copy()
+        t["label"] = pdf["context"].str.split(" ")
+        t = t.explode("label", ignore_index=True)
+        t["pos"] = t.groupby("media_ref").cumcount()
+        ln = t["label"].str.len()
+        t = t[(ln >= lo) & (ln < hi)]
+        return t.drop_duplicates(["doc_id", "media_ref", "label", "pos"])
+
+    fn = model_fn or fake
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = fn(pdf)
+            yield out[["doc_id", "media_ref", "label", "pos"]]
+
+    return media.mapInPandas(run, schema=OBJECT_SCHEMA).distinct()
+
+
+def object_mentions(objects: DataFrame) -> DataFrame:
+    """E8: detected objects -> IMG-typed entity mentions."""
+    return objects.select(
+        "doc_id", "media_ref",
+        F.concat(F.upper("media_ref"), F.lit("/"), F.upper("label")).alias(
+            "entity_name"
+        ),
+        F.lit("IMG").alias("entity_type"),
+        F.concat(F.lit("object "), F.col("label")).alias("description"),
+        F.col("media_ref").alias("source_id"),
+    ).distinct()
+
+
+def ori_img_mentions(media: DataFrame) -> DataFrame:
+    """E10a: one ORI_IMG entity per media span."""
+    return media.select(
+        "doc_id",
+        F.upper("media_ref").alias("entity_name"),
+        F.lit("ORI_IMG").alias("entity_type"),
+        F.concat(F.lit("image "), F.col("media_ref"), F.lit(": "), F.col("context")).alias(
+            "description"
+        ),
+        F.col("media_ref").alias("source_id"),
+    )
+
+
+def image_mentions(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """E7+E8+E10a union: all image-side entity mentions."""
+    scene = scene_mentions(media, cfg).select(
+        "doc_id", "entity_name", "entity_type", "description", "source_id"
+    )
+    objs = object_mentions(detect_objects(media, cfg)).select(
+        "doc_id", "entity_name", "entity_type", "description", "source_id"
+    )
+    return scene.unionByName(objs).unionByName(ori_img_mentions(media))
+
+
+def image_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """E10b: weight-10 containment edges (entity -> its ORI_IMG node)."""
+    members = (
+        scene_mentions(media, cfg)
+        .select("doc_id", "media_ref", "entity_name")
+        .unionByName(
+            object_mentions(detect_objects(media, cfg)).select(
+                "doc_id", "media_ref", "entity_name"
+            )
+        )
+    )
+    return members.select(
+        "doc_id",
+        F.least("entity_name", F.upper("media_ref")).alias("subj"),
+        F.greatest("entity_name", F.upper("media_ref")).alias("obj"),
+        F.lit("contained in image").alias("description"),
+        F.lit(10.0).alias("weight"),
+        F.col("media_ref").alias("source_id"),
+        F.lit(1).alias("order"),
+    )

@@ -1,0 +1,245 @@
+"""DuckDB-SQL twins of every SQL-expressible pipeline stage.
+
+The driver registers the testdata parquet files as DuckDB views (``documents``
+etc.) and compares each ``queries()`` DataFrame against the matching SQL here
+(row count + schema + order-insensitive value hash). The CTE chain below
+re-derives, in pure ANSI-ish SQL, exactly what the Spark operators compute:
+
+    documents -> spans -> chunks -> mentions/triples -> nodes/edges
+                       -> media spans -> image nodes/edges -> unified graph
+
+Keeping this in one place guarantees all oracles share one definition of the
+synthetic derivation rules (mmgraphrag_spark.synth / config.py).
+"""
+
+from __future__ import annotations
+
+from .config import DEFAULT, PipelineConfig
+
+
+def cte_prefix(cfg: PipelineConfig = DEFAULT) -> str:
+    w = cfg.span_words
+    every = cfg.media_every
+    mod = cfg.media_doc_mod
+    cap = cfg.caption_words
+    step = cfg.chunk_max_tokens - cfg.chunk_overlap_tokens
+    mx = cfg.chunk_max_tokens
+    mlen = cfg.mention_min_len
+    clen = cfg.concept_min_len
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS orig_id,
+         'doc' || CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / {w}.0) AS INT) AS n_spans
+  FROM documents
+),
+idx AS (
+  SELECT orig_id, doc_id, w, CAST(u.i AS INT) AS i
+  FROM toks, UNNEST(range(n_spans)) AS u(i)
+),
+tspans AS (
+  SELECT doc_id, i, 0 AS sub, 'text' AS kind,
+         array_to_string(list_slice(w, i*{w}+1, i*{w}+{w}), ' ') AS text,
+         '' AS media_ref
+  FROM idx
+),
+mspans AS (
+  SELECT doc_id, i, 1 AS sub, 'image' AS kind,
+         array_to_string(list_slice(w, i*{w}+1, i*{w}+{cap}), ' ') AS text,
+         doc_id || '/image_' || CAST((i+1)//{every} AS VARCHAR) AS media_ref
+  FROM idx WHERE orig_id % {mod} = 0 AND (i+1) % {every} = 0
+),
+spans AS (
+  SELECT doc_id, kind, text, media_ref,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, sub) - 1 AS INT) AS "offset"
+  FROM (SELECT * FROM tspans UNION ALL SELECT * FROM mspans) u
+),
+chunk_raw AS (
+  SELECT doc_id,
+         CAST(u.i AS INT) AS chunk_order_index,
+         array_to_string(list_slice(w, i*{step}+1, i*{step}+{mx}), ' ') AS content,
+         CAST(len(list_slice(w, i*{step}+1, i*{step}+{mx})) AS INT) AS tokens
+  FROM (SELECT doc_id, w, CAST(ceil(len(w)/{step}.0) AS INT) AS n_chunks FROM toks) c,
+       UNNEST(range(n_chunks)) AS u(i)
+),
+chunks AS (
+  SELECT chunk_id, doc_id, chunk_order_index, tokens, content FROM (
+    SELECT 'chunk-' || md5(content) AS chunk_id, doc_id, chunk_order_index, tokens, content,
+           row_number() OVER (PARTITION BY md5(content)
+                              ORDER BY doc_id, chunk_order_index) AS rn
+    FROM chunk_raw
+  ) d WHERE rn = 1
+),
+ctoks AS (
+  SELECT doc_id, chunk_id, CAST(u.i AS INT) AS pos,
+         string_split(content, ' ')[CAST(u.i AS INT) + 1] AS tok
+  FROM chunks, UNNEST(range(len(string_split(content, ' ')))) AS u(i)
+),
+ments AS (
+  SELECT doc_id, chunk_id, pos,
+         upper(tok) AS entity_name,
+         CASE WHEN len(tok) >= {clen} THEN 'CONCEPT'
+              WHEN pos % 2 = 0 THEN 'TERM' ELSE 'LABEL' END AS entity_type,
+         tok || ' in ' || chunk_id AS description,
+         chunk_id AS source_id
+  FROM ctoks WHERE len(tok) >= {mlen}
+),
+mentions AS (
+  SELECT DISTINCT doc_id, chunk_id, entity_name, entity_type, description, source_id
+  FROM ments
+),
+mseq AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_id ORDER BY pos) AS rnk FROM ments
+),
+triples AS (
+  SELECT a.doc_id, a.chunk_id,
+         least(a.entity_name, b.entity_name) AS subj,
+         greatest(a.entity_name, b.entity_name) AS obj,
+         'co-occurs' AS description,
+         CAST(1.0 AS DOUBLE) AS weight,
+         a.chunk_id AS source_id,
+         1 AS "order"
+  FROM mseq a JOIN mseq b ON a.chunk_id = b.chunk_id AND b.rnk = a.rnk + 1
+  WHERE a.entity_name <> b.entity_name
+),
+media AS (
+  SELECT doc_id, media_ref, text AS context, "offset" AS media_offset
+  FROM spans WHERE kind = 'image'
+),
+img_scene_raw AS (
+  SELECT m.doc_id, m.media_ref, CAST(u.i AS INT) AS pos,
+         string_split(m.context, ' ')[CAST(u.i AS INT) + 1] AS tok
+  FROM media m, UNNEST(range(len(string_split(m.context, ' ')))) AS u(i)
+),
+img_scene AS (
+  SELECT DISTINCT doc_id, media_ref,
+         upper(tok) AS entity_name,
+         CASE WHEN len(tok) >= {clen} THEN 'CONCEPT'
+              WHEN pos % 2 = 0 THEN 'TERM' ELSE 'LABEL' END AS entity_type,
+         tok || ' in ' || media_ref AS description,
+         media_ref AS source_id
+  FROM img_scene_raw WHERE len(tok) >= {mlen}
+),
+img_objects AS (
+  SELECT DISTINCT doc_id, media_ref,
+         upper(media_ref) || '/' || upper(tok) AS entity_name,
+         'IMG' AS entity_type,
+         'object ' || tok AS description,
+         media_ref AS source_id
+  FROM img_scene_raw WHERE len(tok) >= 4 AND len(tok) < {mlen}
+),
+ori_img AS (
+  SELECT doc_id, upper(media_ref) AS entity_name, 'ORI_IMG' AS entity_type,
+         'image ' || media_ref || ': ' || context AS description,
+         media_ref AS source_id, media_ref
+  FROM media
+),
+img_mentions AS (
+  SELECT doc_id, entity_name, entity_type, description, source_id FROM img_scene
+  UNION ALL
+  SELECT doc_id, entity_name, entity_type, description, source_id FROM img_objects
+  UNION ALL
+  SELECT doc_id, entity_name, entity_type, description, source_id FROM ori_img
+),
+img_triples AS (
+  SELECT doc_id,
+         least(entity_name, upper(media_ref)) AS subj,
+         greatest(entity_name, upper(media_ref)) AS obj,
+         'contained in image' AS description,
+         CAST(10.0 AS DOUBLE) AS weight,
+         media_ref AS source_id,
+         1 AS "order"
+  FROM (
+    SELECT doc_id, media_ref, entity_name FROM img_scene
+    UNION ALL
+    SELECT doc_id, media_ref, entity_name FROM img_objects
+  ) e
+),
+all_mentions AS (
+  SELECT entity_name, entity_type, description, source_id FROM mentions
+  UNION ALL
+  SELECT entity_name, entity_type, description, source_id FROM img_mentions
+),
+all_triples AS (
+  SELECT subj, obj, description, weight, source_id, "order" FROM triples
+  UNION ALL
+  SELECT subj, obj, description, weight, source_id, "order" FROM img_triples
+),
+typecnt AS (
+  SELECT entity_name, entity_type, count(*) AS cnt FROM all_mentions GROUP BY 1, 2
+),
+toptype AS (
+  SELECT entity_name, entity_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity_name
+                                 ORDER BY cnt DESC, entity_type ASC) AS rn
+    FROM typecnt
+  ) t WHERE rn = 1
+),
+nodes AS (
+  SELECT n.entity_name, t.entity_type,
+         string_agg(DISTINCT n.description, '<SEP>' ORDER BY n.description) AS description,
+         string_agg(DISTINCT n.source_id, '<SEP>' ORDER BY n.source_id) AS source_id
+  FROM all_mentions n JOIN toptype t USING (entity_name)
+  GROUP BY n.entity_name, t.entity_type
+),
+edges AS (
+  SELECT subj AS src, obj AS dst,
+         sum(weight) AS weight,
+         string_agg(DISTINCT description, '<SEP>' ORDER BY description) AS description,
+         string_agg(DISTINCT source_id, '<SEP>' ORDER BY source_id) AS source_id,
+         min("order") AS "order"
+  FROM all_triples GROUP BY 1, 2
+)
+"""
+
+
+# ---- final SELECTs, one per driver-checked query ---------------------------
+
+def spans_select() -> str:
+    return 'SELECT doc_id, kind, text, media_ref, "offset" FROM spans'
+
+
+def chunks_select() -> str:
+    return "SELECT chunk_id, doc_id, chunk_order_index, tokens, content FROM chunks"
+
+
+def mentions_select() -> str:
+    return (
+        "SELECT doc_id, chunk_id, entity_name, entity_type, description, source_id"
+        " FROM mentions"
+    )
+
+
+def triples_select() -> str:
+    return (
+        'SELECT doc_id, chunk_id, subj, obj, description, weight, source_id, "order"'
+        " FROM triples"
+    )
+
+
+def nodes_select() -> str:
+    return "SELECT entity_name, entity_type, description, source_id FROM nodes"
+
+
+def edges_select() -> str:
+    return 'SELECT src, dst, weight, description, source_id, "order" FROM edges'
+
+
+def img_mentions_select() -> str:
+    return (
+        "SELECT doc_id, entity_name, entity_type, description, source_id"
+        " FROM img_mentions"
+    )
+
+
+def img_triples_select() -> str:
+    return (
+        'SELECT doc_id, subj, obj, description, weight, source_id, "order"'
+        " FROM img_triples"
+    )
+
+
+def q(select: str, cfg: PipelineConfig = DEFAULT) -> str:
+    """Full oracle query: shared CTE prefix + a final SELECT."""
+    return cte_prefix(cfg) + select

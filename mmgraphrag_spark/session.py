@@ -1,0 +1,62 @@
+"""SparkSession builder.
+
+Local-mode settings mirror what we would submit to a real cluster via
+``spark-submit --py-files`` — AQE on (runtime re-plan + skew-join), Arrow on
+(every Python-side operator is pandas/Arrow batched), shuffle partitions sized
+to the parallelism level instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mmgraphrag_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores: local parallelism level (``local[cores]``). Defaults to
+    ``$SPARK_GRAFT_CPUS`` or ``*``. On a real cluster this function is a
+    no-op pass-through — the session comes from spark-submit.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None and cores is None and extra_conf is None:
+        return active
+
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        ncores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        ncores = cores
+
+    if shuffle_partitions is None:
+        # one shuffle partition per core: local mode has no network shuffle,
+        # more partitions only add scheduling overhead at this data size.
+        shuffle_partitions = max(ncores, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
