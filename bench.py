@@ -1,0 +1,85 @@
+"""Benchmark harness — one JSON line per run.
+
+Times the staged, checkpointed KG-construction pipeline end-to-end at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints::
+
+    {"metric": "kg_e2e", "value": <sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ..., "cores": N,
+     "docs_per_sec": ..., "triples_per_sec": ...}
+
+Usage: python bench.py [--cores N] [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--sf-dir", default=None)
+    args = ap.parse_args()
+
+    sf_dir = args.sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from mmgraphrag_spark.plans.pipeline import Pipeline
+    from mmgraphrag_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+
+    # Untimed warm-up: spin up the Python worker pool (each local worker
+    # imports pandas on first use — a fixed ~1s/worker startup cost a
+    # long-lived cluster pays once, not per job) and JIT the codegen paths.
+    warm = spark.range(0, cores * 4, 1, cores).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    )
+    warm.groupBy("id").count().count()
+
+    work = tempfile.mkdtemp(prefix="kgbench_")
+    try:
+        pipe = Pipeline(spark, sf_dir, work)
+        t0 = time.perf_counter()
+        pipe.run(resume=False)
+        total = round(time.perf_counter() - t0, 3)
+
+        lin = pipe.lineage().toPandas()
+        stage_ms = lin.drop_duplicates(["stage"]).set_index("stage")["wall_ms"]
+        rows = lin.drop_duplicates(["output"]).set_index("output")["rows_out"]
+        timings = {s: round(ms / 1000.0, 3) for s, ms in stage_ms.items()}
+
+        n_docs = int(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        )
+        n_triples = int(rows["triples"])
+
+        print(json.dumps({
+            "metric": "kg_e2e",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "cores": cores,
+            "rows": {k: int(v) for k, v in rows.items()},
+            "docs_per_sec": round(n_docs / total, 2),
+            "triples_per_sec": round(n_triples / total, 2),
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,10 +80,9 @@ def flat_spans(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) 
     )
 
 
-def interleaved_docs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    """The input_hint-shaped nested table: docs(doc_id, spans array<struct<...>>)."""
-    flat = flat_spans(spark, sf_dir, cfg)
-    nested = (
+def nest_spans(flat: DataFrame) -> DataFrame:
+    """Flat span rows -> docs(doc_id, spans array<struct<...>>) nested form."""
+    return (
         flat.groupBy("doc_id")
         .agg(
             F.array_sort(
@@ -98,7 +97,11 @@ def interleaved_docs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEF
             ).alias("spans"),
         )
     )
-    return nested
+
+
+def interleaved_docs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """The input_hint-shaped nested table: docs(doc_id, spans array<struct<...>>)."""
+    return nest_spans(flat_spans(spark, sf_dir, cfg))
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,64 @@
+"""Checkpoint/lineage/resume semantics of the staged pipeline runner."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from conftest import SF_TINY
+
+from mmgraphrag_spark import api
+from mmgraphrag_spark.plans.pipeline import Pipeline
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("pipe"))
+    p = Pipeline(spark, SF_TINY, work)
+    p.run(resume=False)
+    return p
+
+
+def test_all_stages_ran_and_checkpointed(pipe):
+    for t in ["spans", "chunks", "extraction_raw", "mentions", "triples",
+              "img_mentions", "img_triples", "nodes", "edges"]:
+        assert pipe._complete(t), t
+
+
+def test_outputs_match_direct_api(spark, pipe):
+    a = pipe.read("edges").toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = api.edges(spark, SF_TINY).toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_resume_skips_complete_stages(pipe):
+    ran = pipe.run(resume=True)
+    assert not any(ran.values())
+
+
+def test_mid_pipeline_resume(spark, pipe):
+    # simulate a crash after 'extract': later checkpoints lost
+    before = pipe.lineage().filter("stage = 'spans'").count()
+    shutil.rmtree(pipe._path("nodes"))
+    shutil.rmtree(pipe._path("edges"))
+    ran = pipe.run(resume=True)
+    assert ran == {"spans": False, "chunks": False, "extract_raw": False,
+                   "parse": False, "media": False, "graph": True}
+    # earlier stages were not recomputed: no new lineage rows for them
+    after = pipe.lineage().filter("stage = 'spans'").count()
+    assert after == before
+    assert pipe._complete("edges")
+
+
+def test_lineage_and_metrics_rows(pipe):
+    lin = pipe.lineage().toPandas()
+    assert set(lin["output"]) >= {"spans", "chunks", "mentions", "triples",
+                                  "nodes", "edges"}
+    assert (lin["rows_out"] > 0).all()
+    met = pipe.metrics().toPandas()
+    # per-partition rows exist for every stage output
+    assert set(met["stage"]) >= {"spans", "chunks", "mentions", "triples"}
+    got = met.groupby("stage")["rows"].sum()
+    per_stage = lin.drop_duplicates("output").set_index("output")["rows_out"]
+    for stage in ["spans", "chunks", "mentions", "triples"]:
+        assert got[stage] == per_stage[stage]
