@@ -38,6 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "kg_nodes": api.nodes,
         "kg_edges": api.edges,
+        "kg_merge_map": api.merge_map,
+        "kg_clusters": api.clusters,  # spectral labels: non-SQL, rows-only check
+        "kg_fused_nodes": api.fused_nodes,
+        "kg_fused_edges": api.fused_edges,
     }
 
 
@@ -51,4 +55,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_img_triples": oracle.q(oracle.img_triples_select()),
         "kg_nodes": oracle.q(oracle.nodes_select()),
         "kg_edges": oracle.q(oracle.edges_select()),
+        "kg_merge_map": oracle.q(oracle.merge_map_select()),
+        "kg_fused_nodes": oracle.q(oracle.fused_nodes_select()),
+        "kg_fused_edges": oracle.q(oracle.fused_edges_select()),
     }

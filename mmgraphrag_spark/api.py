@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .config import DEFAULT, PipelineConfig
 from .operators import canonicalize as canon
-from .operators import chunker, extractor, media
+from .operators import chunker, extractor, fusion, media
 from . import synth
 
 
@@ -75,3 +75,34 @@ def nodes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> Da
 
 def edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     return canon.build_edges(all_triples(spark, sf_dir, cfg))
+
+
+def fusion_blocks(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    sp = spans(spark, sf_dir, cfg)
+    med = media.media_spans(sp)
+    return fusion.fusion_blocks(sp, med, media.image_mentions(med, cfg), cfg)
+
+
+def merge_map(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return fusion.merge_map_from_blocks(fusion_blocks(spark, sf_dir, cfg))
+
+
+def clusters(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return fusion.cluster_assignments(fusion_blocks(spark, sf_dir, cfg))
+
+
+def fused_graph(
+    spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
+) -> tuple[DataFrame, DataFrame]:
+    mm = merge_map(spark, sf_dir, cfg)
+    return fusion.fuse_graph(
+        all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm
+    )
+
+
+def fused_nodes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return fused_graph(spark, sf_dir, cfg)[0]
+
+
+def fused_edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return fused_graph(spark, sf_dir, cfg)[1]

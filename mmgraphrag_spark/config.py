@@ -43,6 +43,9 @@ class PipelineConfig:
     # fusion
     fusion_eps: float = 0.5       # DBSCAN eps, reference fusion.py:245-251
     fusion_knn: int = 3           # kNN label transfer fan-in, fusion.py:256-267
+    fusion_window: int = 64       # nearby-context radius in words (J2 analogue)
+    embed_dims: int = 32          # deterministic hash-embedding dimension
+    merge_cos: float = 0.999      # M7 merge threshold on surface-form cosine
 
     # similarity / dedup
     minhash_perms: int = 16

@@ -48,11 +48,15 @@ def _caption_tokens(media: DataFrame) -> DataFrame:
 def scene_mentions(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     """E7: whole-scene entity mentions from the media context text."""
     toks = _caption_tokens(media)
+    # scene entities are block-local (named '<TOK>@<REF>'): the mm-extractor
+    # names image entities independently of the text side (reference: the
+    # mm-LLM invents names, img2graph.py:419-441); the fusion stage (M2-M7)
+    # decides which of them merge into text entities.
     return (
         toks.filter(F.length("tok") >= cfg.mention_min_len)
         .select(
             "doc_id", "media_ref",
-            F.upper("tok").alias("entity_name"),
+            F.concat(F.upper("tok"), F.lit("@"), F.upper("media_ref")).alias("entity_name"),
             F.when(F.length("tok") >= cfg.concept_min_len, F.lit("CONCEPT"))
             .when(F.col("pos") % 2 == 0, F.lit("TERM"))
             .otherwise(F.lit("LABEL"))

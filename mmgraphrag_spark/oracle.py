@@ -26,6 +26,7 @@ def cte_prefix(cfg: PipelineConfig = DEFAULT) -> str:
     mx = cfg.chunk_max_tokens
     mlen = cfg.mention_min_len
     clen = cfg.concept_min_len
+    K = cfg.fusion_window
     return f"""
 WITH toks AS (
   SELECT doc_id AS orig_id,
@@ -114,7 +115,7 @@ img_scene_raw AS (
 ),
 img_scene AS (
   SELECT DISTINCT doc_id, media_ref,
-         upper(tok) AS entity_name,
+         upper(tok) || '@' || upper(media_ref) AS entity_name,
          CASE WHEN len(tok) >= {clen} THEN 'CONCEPT'
               WHEN pos % 2 = 0 THEN 'TERM' ELSE 'LABEL' END AS entity_type,
          tok || ' in ' || media_ref AS description,
@@ -190,6 +191,74 @@ edges AS (
          string_agg(DISTINCT source_id, '<SEP>' ORDER BY source_id) AS source_id,
          min("order") AS "order"
   FROM all_triples GROUP BY 1, 2
+),
+wordpos AS (
+  SELECT doc_id, CAST(u.i AS INT) AS wpos, w[CAST(u.i AS INT) + 1] AS tok
+  FROM toks, UNNEST(range(len(w))) AS u(i)
+),
+media_anchor AS (
+  SELECT doc_id, media_ref,
+         (CAST(regexp_extract(media_ref, '_(\\d+)$', 1) AS INT) * {every} - 1) * {w} AS anchor
+  FROM media
+),
+nearby AS (
+  SELECT DISTINCT a.doc_id, a.media_ref, upper(t.tok) AS entity_name
+  FROM media_anchor a JOIN wordpos t ON a.doc_id = t.doc_id
+   AND t.wpos >= a.anchor - {K} AND t.wpos < a.anchor + {K}
+  WHERE len(t.tok) >= {mlen}
+),
+-- fusion reduction on the synthetic corpus: the spectral+kNN+judge pipeline
+-- merges an image scene entity into exactly the nearby text entity with an
+-- identical surface form (hash embeddings: cosine 1 iff equal strings)
+merge_map AS (
+  SELECT DISTINCT s.doc_id, s.media_ref,
+         s.entity_name AS old_name, n.entity_name AS new_name
+  FROM img_scene s JOIN nearby n
+    ON s.doc_id = n.doc_id AND s.media_ref = n.media_ref
+   AND split_part(s.entity_name, '@', 1) = n.entity_name
+),
+mmap AS (SELECT DISTINCT old_name, new_name FROM merge_map),
+fused_mentions AS (
+  SELECT coalesce(mm.new_name, a.entity_name) AS entity_name,
+         a.entity_type, a.description, a.source_id
+  FROM all_mentions a LEFT JOIN mmap mm ON a.entity_name = mm.old_name
+),
+fused_triples AS (
+  SELECT least(s2, o2) AS subj, greatest(s2, o2) AS obj,
+         description, weight, source_id, "order"
+  FROM (
+    SELECT coalesce(m1.new_name, t.subj) AS s2,
+           coalesce(m2.new_name, t.obj) AS o2,
+           t.description, t.weight, t.source_id, t."order"
+    FROM all_triples t
+    LEFT JOIN mmap m1 ON t.subj = m1.old_name
+    LEFT JOIN mmap m2 ON t.obj = m2.old_name
+  ) x
+),
+fused_typecnt AS (
+  SELECT entity_name, entity_type, count(*) AS cnt FROM fused_mentions GROUP BY 1, 2
+),
+fused_toptype AS (
+  SELECT entity_name, entity_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity_name
+                                 ORDER BY cnt DESC, entity_type ASC) AS rn
+    FROM fused_typecnt
+  ) t WHERE rn = 1
+),
+fused_nodes AS (
+  SELECT n.entity_name, t.entity_type,
+         string_agg(DISTINCT n.description, '<SEP>' ORDER BY n.description) AS description,
+         string_agg(DISTINCT n.source_id, '<SEP>' ORDER BY n.source_id) AS source_id
+  FROM fused_mentions n JOIN fused_toptype t USING (entity_name)
+  GROUP BY n.entity_name, t.entity_type
+),
+fused_edges AS (
+  SELECT subj AS src, obj AS dst,
+         sum(weight) AS weight,
+         string_agg(DISTINCT description, '<SEP>' ORDER BY description) AS description,
+         string_agg(DISTINCT source_id, '<SEP>' ORDER BY source_id) AS source_id,
+         min("order") AS "order"
+  FROM fused_triples GROUP BY 1, 2
 )
 """
 
@@ -238,6 +307,18 @@ def img_triples_select() -> str:
         'SELECT doc_id, subj, obj, description, weight, source_id, "order"'
         " FROM img_triples"
     )
+
+
+def merge_map_select() -> str:
+    return "SELECT doc_id, media_ref, old_name, new_name FROM merge_map"
+
+
+def fused_nodes_select() -> str:
+    return "SELECT entity_name, entity_type, description, source_id FROM fused_nodes"
+
+
+def fused_edges_select() -> str:
+    return 'SELECT src, dst, weight, description, source_id, "order" FROM fused_edges'
 
 
 def q(select: str, cfg: PipelineConfig = DEFAULT) -> str:

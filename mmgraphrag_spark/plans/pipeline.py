@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT, PipelineConfig
 from ..operators import canonicalize as canon
-from ..operators import chunker, extractor, media
+from ..operators import chunker, extractor, fusion, media
 from .. import synth
 
 
@@ -189,5 +189,39 @@ class Pipeline:
         ran["graph"] = self._stage(
             "graph", ["mentions", "triples", "img_mentions", "img_triples"],
             ["nodes", "edges"], _graph, resume,
+        )
+
+        def _fusion():
+            sp = self.read("spans")
+            med = media.media_spans(sp)
+            return {
+                "fusion_blocks": fusion.fusion_blocks(
+                    sp, med, self.read("img_mentions"), cfg
+                )
+            }
+
+        ran["fusion"] = self._stage(
+            "fusion", ["spans", "img_mentions"], ["fusion_blocks"], _fusion, resume
+        )
+
+        def _fused_graph():
+            cols_m = ["entity_name", "entity_type", "description", "source_id"]
+            cols_t = ["subj", "obj", "description", "weight", "source_id", "order"]
+            all_m = (
+                self.read("mentions").select(cols_m)
+                .unionByName(self.read("img_mentions").select(cols_m))
+            )
+            all_t = (
+                self.read("triples").select(cols_t)
+                .unionByName(self.read("img_triples").select(cols_t))
+            )
+            mm = fusion.merge_map_from_blocks(self.read("fusion_blocks", spread=False))
+            nodes, edges = fusion.fuse_graph(all_m, all_t, mm)
+            return {"fused_nodes": nodes, "fused_edges": edges}
+
+        ran["fused_graph"] = self._stage(
+            "fused_graph",
+            ["mentions", "triples", "img_mentions", "img_triples", "fusion_blocks"],
+            ["fused_nodes", "fused_edges"], _fused_graph, resume,
         )
         return ran
