@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from mmgraphrag_spark import api, oracle  # noqa: E402
+from mmgraphrag_spark import api, oracle, oracle_extra  # noqa: E402
+from mmgraphrag_spark.operators import dedup, similarity, textstats  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,6 +43,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clusters": api.clusters,  # spectral labels: non-SQL, rows-only check
         "kg_fused_nodes": api.fused_nodes,
         "kg_fused_edges": api.fused_edges,
+        # training-data pipeline: dedup / similarity / text analysis
+        "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
+        "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
+        "dup_simhash": lambda s, d: dedup.simhash(dedup.docs_table(s, d)),
+        "dup_simhash_pairs": lambda s, d: dedup.simhash_near_duplicates(dedup.docs_table(s, d)),
+        "dup_embedding": lambda s, d: dedup.embedding_near_duplicates(s, d),
+        "ann_topk": lambda s, d: similarity.ann_bruteforce_topk(s, d),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(s, d),
+        "text_token_stats": lambda s, d: textstats.token_stats(dedup.docs_table(s, d)),
+        "text_quality": lambda s, d: textstats.quality_scores(dedup.docs_table(s, d)),
+        "text_langid": lambda s, d: textstats.language_id(dedup.docs_table(s, d)),
+        "text_fingerprints": lambda s, d: textstats.fingerprints(dedup.docs_table(s, d)),
     }
 
 
@@ -58,4 +71,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_merge_map": oracle.q(oracle.merge_map_select()),
         "kg_fused_nodes": oracle.q(oracle.fused_nodes_select()),
         "kg_fused_edges": oracle.q(oracle.fused_edges_select()),
+        "dup_exact": oracle_extra.dup_exact_sql(),
+        "dup_minhash": oracle_extra.dup_minhash_sql(),
+        "dup_simhash": oracle_extra.dup_simhash_sql(),
+        "dup_simhash_pairs": oracle_extra.dup_simhash_pairs_sql(),
+        "dup_embedding": oracle_extra.dup_embedding_sql(),
+        "ann_topk": oracle_extra.ann_topk_sql(),
+        "ann_lsh_topk": oracle_extra.ann_lsh_topk_sql(),
+        "text_token_stats": oracle_extra.token_stats_sql(),
+        "text_quality": oracle_extra.quality_sql(),
+        "text_langid": oracle_extra.langid_sql(),
+        "text_fingerprints": oracle_extra.fingerprints_sql(),
     }

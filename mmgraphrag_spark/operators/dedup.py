@@ -1,0 +1,237 @@
+"""Deduplication suite over the documents table.
+
+Large-scale training-data pipeline operators, each expressed Spark-first with
+an exact DuckDB oracle twin (see oracle_extra.py):
+
+* exact         — md5(text) groupBy (the reference's content-hash dedup,
+                  /root/reference/mmgraphrag/preprocessing.py:106-149, A6/P6)
+* minhash LSH   — k-word shingles → 16 seeded minhashes (lexicographic min of
+                  md5(seed || shingle), engine-portable) → 4 bands × 4 rows →
+                  band-bucket self-join → verified n-gram Jaccard
+* simhash       — 16-bit simhash over tokens; near-dup pairs bucketed by
+                  8-bit halves (pigeonhole: hamming ≤ 2 ⇒ one half equal)
+* embedding     — cosine near-dup over quantized (int) embeddings; integer
+                  dot products are bit-exact across engines, the cosine
+                  threshold is evaluated as 10^4·D² ≥ τ²·10^4·Na·Nb in int64
+
+Scale notes: exact/minhash/simhash are shuffle-bounded by their blocking key
+(hash, band bucket, simhash half) — candidate verification joins are
+per-bucket, never all-pairs. The embedding near-dup here is the brute-force
+*baseline* (quadratic — correctness yardstick only); the scale path is the
+sign-projection LSH variant in similarity.py. Skewed buckets (boilerplate
+shingles) hit AQE skew-join; signatures are fixed-width so map-side combine
+applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import DEFAULT, PipelineConfig
+
+
+def docs_table(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
+# ---- exact ------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(doc_id, keep_id, content_hash): rows that are exact duplicates of an
+    earlier doc (keep_id = min doc_id of the hash group)."""
+    h = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return (
+        h.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", "keep_id", "content_hash")
+    )
+
+
+# ---- minhash + LSH ----------------------------------------------------------
+
+def _shingles(cfg: PipelineConfig):
+    k = cfg.shingle_size
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(w) - {k}, 0)),"
+            f" j -> concat_ws(' ', slice(w, j + 1, {k})))"
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """(doc_id, sig array<string>): lexicographic-min md5 per seeded permutation.
+
+    String-min minhash keeps the math engine-portable (no 64-bit hash
+    parity issues); collision behavior matches integer minhash.
+    """
+    sh = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", _shingles(cfg).alias("sh")
+    )
+    mins = [
+        F.array_min(
+            F.expr(f"transform(sh, s -> md5(concat('{i}|', s)))")
+        ).alias(f"m{i}")
+        for i in range(cfg.minhash_perms)
+    ]
+    return sh.select("doc_id", F.array(*mins).alias("sig"), "sh")
+
+
+def lsh_candidates(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """(a, b, band): candidate pairs sharing an LSH band bucket (a < b)."""
+    sigs = minhash_signatures(docs, cfg)
+    r = cfg.minhash_perms // cfg.minhash_bands
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
+                    ).alias("bkey"),
+                )
+                for b in range(cfg.minhash_bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    left = bands.alias("x")
+    right = bands.alias("y")
+    return (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.band").alias("band"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, threshold: float = 0.5, cfg: PipelineConfig = DEFAULT
+) -> DataFrame:
+    """(a, b, jaccard_pm): LSH candidates verified by true shingle Jaccard.
+
+    jaccard_pm = 10^6-scaled integer Jaccard (floor), engine-exact.
+    """
+    sh = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", _shingles(cfg).alias("sh")
+    )
+    pairs = lsh_candidates(docs, cfg).select("a", "b").distinct()
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+        .selectExpr(
+            "a", "b",
+            "size(array_intersect(sha, shb)) * 1000000L"
+            " div size(array_union(sha, shb)) AS jaccard_pm",
+        )
+    )
+    return j.filter(F.col("jaccard_pm") >= int(threshold * 1_000_000)).select(
+        "a", "b", "jaccard_pm"
+    )
+
+
+# ---- simhash ----------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): per-token 16-bit hash = first 4 md5 hex chars;
+    signature bit j set iff more tokens have bit j than not."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("hv")
+    )
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("hv"), j).bitwiseAND(1) == 1, 1).otherwise(-1))
+        .alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """(a, b, hamming): pairs within hamming distance, bucketed by 8-bit
+    halves (hamming ≤ 2 < number of halves ⇒ some half matches exactly)."""
+    s = simhash(docs)
+    halves = s.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("h"), (F.col("simhash") % 256).alias("hk")),
+                F.struct(F.lit(1).alias("h"), F.shiftright(F.col("simhash"), 8).cast("long").alias("hk")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "simhash", F.col("p.h").alias("h"), F.col("p.hk").alias("hk"))
+    x, y = halves.alias("x"), halves.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.hk") == F.col("y.hk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---- embedding near-dup -----------------------------------------------------
+
+def quantized_embeddings(spark, sf_dir: str, scale: int = 1000) -> DataFrame:
+    """(vec_id, q array<long>, n long): integer-quantized embedding + its
+    integer squared norm. Integer math is bit-exact across engines."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {scale}) as long))")
+    return e.select(F.col("vec_id").cast("long").alias("vec_id"), q.alias("q")).withColumn(
+        "n", F.expr("aggregate(q, cast(0 as long), (acc, x) -> acc + x * x)")
+    )
+
+
+def embedding_near_duplicates(
+    spark, sf_dir: str, cos_threshold: float = 0.4
+) -> DataFrame:
+    """(a, b, dot, na, nb): pairs with cosine ≥ τ, decided in exact integer
+    arithmetic: dot > 0 ∧ 10^4·dot² ≥ ⌈τ²·10^4⌉·na·nb."""
+    qe = quantized_embeddings(spark, sf_dir)
+    t2 = int(round(cos_threshold * cos_threshold * 10_000))
+    x = qe.select(
+        F.col("vec_id").alias("a"), F.col("q").alias("qa"), F.col("n").alias("na")
+    )
+    y = qe.select(
+        F.col("vec_id").alias("b"), F.col("q").alias("qb"), F.col("n").alias("nb")
+    )
+    pairs = x.join(y, F.col("a") < F.col("b"))
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (p, r) -> p * r), cast(0 as long), (acc, x) -> acc + x)"
+    )
+    return (
+        pairs.withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") * 10_000 >= F.lit(t2) * F.col("na") * F.col("nb"))
+        )
+        .select("a", "b", "dot", "na", "nb")
+    )

@@ -1,0 +1,271 @@
+"""DuckDB-SQL twins for the training-data pipeline operators
+(dedup / similarity / textstats). Integer-scaled metrics throughout →
+bit-exact cross-engine comparison. Parameters mirror the operator defaults.
+"""
+
+from __future__ import annotations
+
+from .config import DEFAULT, PipelineConfig
+
+
+def dup_exact_sql() -> str:
+    return """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+SELECT doc_id, keep_id, content_hash FROM (
+  SELECT doc_id, content_hash,
+         min(doc_id) OVER (PARTITION BY content_hash) AS keep_id
+  FROM h
+) t WHERE doc_id <> keep_id
+"""
+
+
+def _shingle_cte(cfg: PipelineConfig) -> str:
+    k = cfg.shingle_size
+    return f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(w, j + 1, j + {k}), ' ')
+                        for j in range(greatest(len(w) - {k}, 0) + 1)]) AS sh
+  FROM d
+)"""
+
+
+def dup_minhash_sql(threshold: float = 0.5, cfg: PipelineConfig = DEFAULT) -> str:
+    perms, bands = cfg.minhash_perms, cfg.minhash_bands
+    r = perms // bands
+    t = int(threshold * 1_000_000)
+    return f"""
+WITH {_shingle_cte(cfg)},
+mh AS (
+  SELECT doc_id, CAST(p.i AS INT) AS i,
+         min(md5(CAST(p.i AS VARCHAR) || '|' || u.s)) AS m
+  FROM sh, UNNEST(sh.sh) AS u(s), UNNEST(range({perms})) AS p(i)
+  GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // {r} AS band,
+         md5(string_agg(m, '|' ORDER BY i)) AS bkey
+  FROM mh GROUP BY doc_id, i // {r}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b,
+       len(list_intersect(sa.sh, sb.sh)) * 1000000
+         // len(list_distinct(sa.sh || sb.sh)) AS jaccard_pm
+FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+WHERE len(list_intersect(sa.sh, sb.sh)) * 1000000
+      // len(list_distinct(sa.sh || sb.sh)) >= {t}
+"""
+
+
+def _simhash_cte() -> str:
+    return """
+st AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv FROM st),
+votes AS (
+  SELECT doc_id, CAST(r.j AS INT) AS j,
+         sum(CASE WHEN (hv >> CAST(r.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hv, UNNEST(range(16)) AS r(j) GROUP BY doc_id, r.j
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+
+def dup_simhash_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sim"
+
+
+def dup_simhash_pairs_sql(max_hamming: int = 2) -> str:
+    return f"""
+WITH {_simhash_cte()},
+halves AS (
+  SELECT doc_id, simhash, h, hk FROM (
+    SELECT doc_id, simhash, 0 AS h, simhash % 256 AS hk FROM sim
+    UNION ALL
+    SELECT doc_id, simhash, 1 AS h, simhash >> 8 AS hk FROM sim
+  ) u
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM halves x JOIN halves y
+    ON x.h = y.h AND x.hk = y.hk AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+_QE = """
+qe AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n FROM qe
+)"""
+
+def _dot_expr(qa: str, qb: str, dims: int = 64) -> str:
+    """Unrolled integer dot product — engine-portable, order-irrelevant."""
+    return "(" + " + ".join(f"{qa}[{i}] * {qb}[{i}]" for i in range(1, dims + 1)) + ")"
+
+
+def dup_embedding_sql(cos_threshold: float = 0.4) -> str:
+    t2 = int(round(cos_threshold * cos_threshold * 10_000))
+    dot = _dot_expr("a.q", "b.q")
+    return f"""
+WITH {_QE}
+SELECT a.vec_id AS a, b.vec_id AS b, {dot} AS dot, a.n AS na, b.n AS nb
+FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+WHERE {dot} > 0 AND {dot} * {dot} * 10000 >= {t2} * a.n * b.n
+"""
+
+
+_RANK_SQL = (
+    "(CASE WHEN {dot} >= 0 THEN 1 ELSE -1 END)"
+    " * (({dot} * {dot}) // greatest((na * nb) // 1000000, 1))"
+)
+
+
+def ann_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    dot = _dot_expr("q.q", "c.q")
+    rank = _RANK_SQL.format(dot="dot")
+    return f"""
+WITH {_QE},
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, {dot} AS dot,
+         q.n AS na, c.n AS nb
+  FROM qn q JOIN qn c ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT qid, cid, dot, {rank} AS rank_key,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY {rank} DESC, cid ASC) AS rnk
+  FROM pairs
+)
+SELECT qid, cid, dot, rank_key, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+def _bucket_expr(q: str, table: int, planes: int = 3) -> str:
+    bits = []
+    for p in range(planes):
+        comp = (
+            f"list_sum([CASE WHEN ('0x' || substr(md5('{table}:{p}|' || CAST(d AS VARCHAR)), 1, 1))::BIGINT % 2 = 0"
+            f" THEN {q}[d + 1] ELSE -{q}[d + 1] END for d in range(64)])"
+        )
+        bits.append(f"(CASE WHEN {comp} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def ann_lsh_topk_sql(
+    k: int = 5, n_queries: int = 10, tables: int = 8, planes: int = 3
+) -> str:
+    dot = _dot_expr("qq.q", "cc.q")
+    rank = _RANK_SQL.format(dot="dot")
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {_bucket_expr('q', t, planes)} AS bucket, {t} AS tbl FROM qn"
+        for t in range(tables)
+    )
+    return f"""
+WITH {_QE},
+qb AS ({per_table}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+  FROM qb q JOIN qb c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket
+   AND q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+),
+pairs AS (
+  SELECT cand.qid, cand.cid, {dot} AS dot, qq.n AS na, cc.n AS nb
+  FROM cand JOIN qn qq ON qq.vec_id = cand.qid JOIN qn cc ON cc.vec_id = cand.cid
+),
+ranked AS (
+  SELECT qid, cid, dot, {rank} AS rank_key,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY {rank} DESC, cid ASC) AS rnk
+  FROM pairs
+)
+SELECT qid, cid, dot, rank_key, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+def token_stats_sql() -> str:
+    return """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+       length(text) AS n_chars,
+       CAST(list_sum([length(x) for x in w]) * 1000000 // len(w) AS BIGINT)
+         AS avg_token_len_ppm
+FROM d
+"""
+
+
+def quality_sql() -> str:
+    from .operators.textstats import STOPWORDS
+
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id,
+         len(list_filter(w, x -> x IN ({lst}))) * 1000000::BIGINT AS stop_num,
+         len(list_distinct(w)) * 1000000::BIGINT AS dist_num,
+         least(len(w), 200) * 1000000::BIGINT AS len_num,
+         len(w) AS n
+  FROM d
+)
+SELECT doc_id,
+       stop_num // n AS stopword_ppm,
+       dist_num // n AS distinct_ratio_ppm,
+       ((dist_num // n) * 5 + (1000000 - stop_num // n) * 3
+        + (len_num // 200) * 2) // 10 AS quality_ppm
+FROM c
+"""
+
+
+def langid_sql() -> str:
+    from .operators.textstats import LANG_PROFILES
+
+    branches = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        lst = ", ".join(f"'{s}'" for s in words)
+        branches.append(
+            f"SELECT doc_id, '{lang}' AS lang,"
+            f" len(list_filter(w, x -> x IN ({lst}))) AS hits FROM d"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+scores AS ({union}),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess,
+       hits
+FROM best WHERE rn = 1
+"""
+
+
+def fingerprints_sql(window: int = 5) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, md5(text) AS doc_md5,
+       list_min([md5(array_to_string(list_slice(w, j + 1, j + {window}), ' '))
+                 for j in range(greatest(len(w) - {window}, 0) + 1)]) AS winnow
+FROM d
+"""

@@ -1,0 +1,89 @@
+"""Dedup / similarity / textstats operator semantics on crafted inputs."""
+
+from __future__ import annotations
+
+from conftest import SF_TINY
+
+from mmgraphrag_spark.operators import dedup, similarity, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = _docs(spark, [(1, "a b c"), (5, "a b c"), (3, "a b c"), (2, "x y")])
+    got = {(r.doc_id, r.keep_id) for r in dedup.exact_duplicates(d).collect()}
+    assert got == {(3, 1), (5, 1)}
+
+
+def test_minhash_catches_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    edited = base.replace("w20", "zz")  # one-token edit: high jaccard
+    other = " ".join(f"q{i}" for i in range(40))
+    d = _docs(spark, [(1, base), (2, edited), (3, other)])
+    got = {(r.a, r.b) for r in dedup.minhash_near_duplicates(d, 0.5).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_jaccard_value(spark):
+    # identical docs → jaccard 1.0 exactly
+    d = _docs(spark, [(1, "a b c d e"), (2, "a b c d e")])
+    rows = dedup.minhash_near_duplicates(d, 0.5).collect()
+    assert [(r.a, r.b, r.jaccard_pm) for r in rows] == [(1, 2, 1_000_000)]
+
+
+def test_simhash_identical_and_disjoint(spark):
+    d = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "zz yy xx qq")])
+    pairs = dedup.simhash_near_duplicates(d, max_hamming=2).collect()
+    got = {(r.a, r.b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+
+
+def test_ann_lsh_subset_of_bruteforce_with_high_recall(spark):
+    bf = similarity.ann_bruteforce_topk(spark, SF_TINY, k=5, n_queries=10).toPandas()
+    lsh = similarity.ann_lsh_topk(spark, SF_TINY, k=5, n_queries=10).toPandas()
+    bf_pairs = set(zip(bf["qid"], bf["cid"]))
+    lsh_pairs = set(zip(lsh["qid"], lsh["cid"]))
+    assert len(lsh) <= len(bf)
+    # same-bucket top hits should overlap the true top-k substantially
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.5, recall
+
+
+def test_ann_rank_key_orders_by_cosine(spark):
+    import numpy as np
+
+    bf = similarity.ann_bruteforce_topk(spark, SF_TINY, k=5, n_queries=3).toPandas()
+    e = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in e.itertuples()}
+    for qid, g in bf.groupby("qid"):
+        g = g.sort_values("rnk")
+        cosines = [
+            float(vecs[qid] @ vecs[c] / (np.linalg.norm(vecs[qid]) * np.linalg.norm(vecs[c])))
+            for c in g["cid"]
+        ]
+        # integer rank key must order like true cosine (allow quantization slack)
+        assert all(cosines[i] >= cosines[i + 1] - 1e-3 for i in range(len(cosines) - 1))
+
+
+def test_quality_monotone_on_repetition(spark):
+    d = _docs(spark, [(1, "a b c d e f g h"), (2, "a a a a a a a a")])
+    q = {r.doc_id: r.quality_ppm for r in textstats.quality_scores(d).collect()}
+    assert q[1] > q[2]
+
+
+def test_langid_profiles(spark):
+    d = _docs(spark, [(1, "the cat of the house"), (2, "el gato de la casa"),
+                      (3, "zz yy")])
+    got = {r.doc_id: r.lang_guess for r in textstats.language_id(d).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_stable_under_local_edit(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    edited = base.replace("w29", "zz")  # tail edit: winnow (min 5-gram) usually stable
+    d = _docs(spark, [(1, base), (2, edited)])
+    fp = {r.doc_id: (r.doc_md5, r.winnow) for r in textstats.fingerprints(d).collect()}
+    assert fp[1][0] != fp[2][0]  # full-doc hash differs
