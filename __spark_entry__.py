@@ -43,6 +43,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clusters": api.clusters,  # spectral labels: non-SQL, rows-only check
         "kg_fused_nodes": api.fused_nodes,
         "kg_fused_edges": api.fused_edges,
+        "mm_decode": api.mm_decode,
+        "mm_frames": api.mm_frames,
+        "media_chunk_match": api.media_chunk_match,
+        "qctx_seeds": api.qctx_seeds,
+        "qctx_edges": api.qctx_edges,
+        "qctx_onehop": api.qctx_onehop,
+        "qctx_chunks": api.qctx_chunks,
+        "qctx_top_media": api.qctx_top_media,
         # training-data pipeline: dedup / similarity / text analysis
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
         "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
@@ -71,6 +79,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_merge_map": oracle.q(oracle.merge_map_select()),
         "kg_fused_nodes": oracle.q(oracle.fused_nodes_select()),
         "kg_fused_edges": oracle.q(oracle.fused_edges_select()),
+        "mm_decode": oracle.q(oracle.mm_decode_select()),
+        "mm_frames": oracle.q(oracle.mm_frames_select()),
+        "media_chunk_match": oracle.q(oracle.media_chunk_match_select()),
+        "qctx_seeds": oracle.qctx_seeds_sql(),
+        "qctx_edges": oracle.qctx_edges_sql(),
+        "qctx_onehop": oracle.qctx_onehop_sql(),
+        "qctx_chunks": oracle.qctx_chunks_sql(),
+        "qctx_top_media": oracle.top_media_sql(),
         "dup_exact": oracle_extra.dup_exact_sql(),
         "dup_minhash": oracle_extra.dup_minhash_sql(),
         "dup_simhash": oracle_extra.dup_simhash_sql(),

@@ -49,7 +49,10 @@ def main() -> None:
     )
     warm.groupBy("id").count().count()
 
-    work = tempfile.mkdtemp(prefix="kgbench_")
+    # checkpoints on tmpfs: the sandbox block device has intermittent
+    # multi-second file-create latency (see session.py note)
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="kgbench_", dir=tmp_root)
     try:
         pipe = Pipeline(spark, sf_dir, work)
         t0 = time.perf_counter()

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .config import DEFAULT, PipelineConfig
 from .operators import canonicalize as canon
-from .operators import chunker, extractor, fusion, media
+from .operators import chunker, extractor, fusion, media, query_ctx
 from . import synth
 
 
@@ -91,13 +91,21 @@ def clusters(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) ->
     return fusion.cluster_assignments(fusion_blocks(spark, sf_dir, cfg))
 
 
+_fused_cache: dict = {}
+
+
 def fused_graph(
     spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:
-    mm = merge_map(spark, sf_dir, cfg)
-    return fusion.fuse_graph(
-        all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm
-    )
+    # memoize per (session, sf_dir, cfg): the driver calls fused_nodes and
+    # fused_edges separately — reuse one plan (and its persisted merge map)
+    key = (id(spark), sf_dir, id(cfg))
+    if key not in _fused_cache:
+        mm = merge_map(spark, sf_dir, cfg)
+        _fused_cache[key] = fusion.fuse_graph(
+            all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm
+        )
+    return _fused_cache[key]
 
 
 def fused_nodes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
@@ -106,3 +114,57 @@ def fused_nodes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
 
 def fused_edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     return fused_graph(spark, sf_dir, cfg)[1]
+
+
+def mm_decode(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    from .operators import multimodal
+
+    return multimodal.decode_media(
+        multimodal.media_payloads(media_table(spark, sf_dir, cfg))
+    )
+
+
+def mm_frames(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    from .operators import multimodal
+
+    return multimodal.frame_samples(
+        multimodal.media_payloads(media_table(spark, sf_dir, cfg))
+    )
+
+
+def media_chunk_match(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return query_ctx.media_chunk_match(
+        media_table(spark, sf_dir, cfg), chunks(spark, sf_dir, cfg)
+    )
+
+
+def qctx_seeds(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return query_ctx.seed_entities(
+        nodes(spark, sf_dir, cfg), edges(spark, sf_dir, cfg),
+        cfg.qctx_query, cfg.qctx_k,
+    )
+
+
+def qctx_edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return query_ctx.context_edges(
+        nodes(spark, sf_dir, cfg), edges(spark, sf_dir, cfg),
+        cfg.qctx_query, cfg.qctx_k, cfg.qctx_token_budget,
+    )
+
+
+def qctx_onehop(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return query_ctx.one_hop_entities(
+        nodes(spark, sf_dir, cfg), edges(spark, sf_dir, cfg),
+        cfg.qctx_query, cfg.qctx_k,
+    )
+
+
+def qctx_chunks(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return query_ctx.context_chunks(
+        nodes(spark, sf_dir, cfg), edges(spark, sf_dir, cfg),
+        chunks(spark, sf_dir, cfg), cfg.qctx_query, cfg.qctx_k,
+    )
+
+
+def qctx_top_media(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return query_ctx.top_media_entities(nodes(spark, sf_dir, cfg))

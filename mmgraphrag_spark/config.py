@@ -47,6 +47,11 @@ class PipelineConfig:
     embed_dims: int = 32          # deterministic hash-embedding dimension
     merge_cos: float = 0.999      # M7 merge threshold on surface-form cosine
 
+    # query-context assembly (T1-T4, J7-J9)
+    qctx_query: str = "spark window stream table"
+    qctx_k: int = 5
+    qctx_token_budget: int = 4000
+
     # similarity / dedup
     minhash_perms: int = 16
     minhash_bands: int = 4

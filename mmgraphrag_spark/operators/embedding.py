@@ -21,8 +21,44 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..config import DEFAULT, PipelineConfig
 
 
+def with_embedding(
+    df: DataFrame, text_col: str, out_col: str = "embedding",
+    cfg: PipelineConfig = DEFAULT,
+) -> DataFrame:
+    """Attach the unit hash-embedding as ``out_col``.
+
+    Three explicit projections (components → norm → normalized array) keep
+    every expression flat and codegen'd, each evaluated once: the earlier
+    single-Column form used ``transform``/``aggregate`` lambdas, which run
+    interpreted (no whole-stage codegen) and were stack-sampled as ~30× the
+    cost of the fusion eigendecompositions they feed.
+    """
+    dims = cfg.embed_dims
+    col = F.col(text_col)
+    comps = df.select(
+        "*",
+        *[
+            (
+                F.xxhash64(F.concat(col, F.lit(f"#{k}"))).cast("double")
+                / F.lit(float(2**63))
+            ).alias(f"_e{k}")
+            for k in range(dims)
+        ],
+    )
+    sq = None
+    for k in range(dims):
+        term = F.col(f"_e{k}") * F.col(f"_e{k}")
+        sq = term if sq is None else sq + term
+    normed = comps.withColumn("_norm", F.sqrt(sq))
+    return normed.select(
+        *df.columns,
+        F.array(*[F.col(f"_e{k}") / F.col("_norm") for k in range(dims)]).alias(out_col),
+    )
+
+
 def hash_embedding(col: Column, dims: int = DEFAULT.embed_dims) -> Column:
-    """array<double> unit vector derived from xxhash64(col || '#' || k)."""
+    """Single-Column form (same values as with_embedding; lambda-based, so
+    interpreted — use only off the hot path / in tests)."""
     raw = F.array(*[
         (
             F.xxhash64(F.concat(col, F.lit(f"#{k}"))).cast("double")
@@ -34,10 +70,3 @@ def hash_embedding(col: Column, dims: int = DEFAULT.embed_dims) -> Column:
         F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     ))
     return F.transform(raw, lambda x: x / norm)
-
-
-def with_embedding(
-    df: DataFrame, text_col: str, out_col: str = "embedding",
-    cfg: PipelineConfig = DEFAULT,
-) -> DataFrame:
-    return df.withColumn(out_col, hash_embedding(F.col(text_col), cfg.embed_dims))

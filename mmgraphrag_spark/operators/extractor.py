@@ -126,20 +126,27 @@ def extract_raw(
 
 
 def parse_records(raw: DataFrame) -> DataFrame:
-    """E2/E3: grammar string -> one row per record with parsed fields array."""
+    """E2/E3: grammar string -> one row per record with parsed fields array.
+
+    Quote-stripping runs as ONE whole-record regexp (quotes adjacent to the
+    tuple delimiter or record edges) instead of a per-field ``transform``
+    lambda: higher-order functions evaluate interpreted
+    (ArrayTransform.nullSafeEval — stack-sampled as the parse hot spot) and
+    fall out of whole-stage codegen; a flat regexp_replace + split stays
+    codegen'd and runs once per record.
+    """
     recs = raw.select(
         "doc_id", "chunk_id",
         F.explode(F.split("output", r"##|<\|COMPLETE\|>")).alias("rec"),
     ).filter(F.length(F.trim("rec")) > 0)
+    inner = F.regexp_extract("rec", r"\((.*)\)", 1)
+    cleaned = F.regexp_replace(
+        inner, r'(^|(?<=<\|>))\s*"|"\s*($|(?=<\|>))', ""
+    )
     return recs.select(
         "doc_id", "chunk_id",
-        F.expr(
-            r"""transform(
-                  split(regexp_extract(rec, '\\((.*)\\)', 1), '<\\|>'),
-                  x -> regexp_replace(trim(x), '^"|"$', '')
-                )"""
-        ).alias("fields"),
-    ).filter(F.size("fields") >= 1)
+        F.split(cleaned, r"<\|>", -1).alias("fields"),
+    ).filter((F.size("fields") >= 1) & (F.length(F.get("fields", F.lit(0))) > 0))
 
 
 def decode_mentions(parsed: DataFrame) -> DataFrame:

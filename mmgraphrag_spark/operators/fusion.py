@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT, PipelineConfig
 from . import canonicalize as canon
-from .embedding import hash_embedding
+from .embedding import with_embedding
 
 MERGE_SCHEMA = "doc_id string, media_ref string, old_name string, new_name string"
 # one applyInPandas pass emits both products of the block computation:
@@ -233,9 +233,12 @@ def fusion_blocks(
         .withColumn("side", F.lit("text"))
         .withColumn("surface", F.col("entity_name"))
     )
-    both = nearby.unionByName(
-        scene.select("doc_id", "media_ref", "entity_name", "side", "surface")
-    ).withColumn("embedding", hash_embedding(F.col("surface"), cfg.embed_dims))
+    both = with_embedding(
+        nearby.unionByName(
+            scene.select("doc_id", "media_ref", "entity_name", "side", "surface")
+        ),
+        "surface", cfg=cfg,
+    )
 
     eps, tau = cfg.fusion_eps, cfg.merge_cos
     return both.repartition("media_ref").groupBy("media_ref").applyInPandas(
@@ -295,6 +298,10 @@ def fuse_graph(
     Rewrites mention/triple endpoints through the merge map, then
     re-canonicalizes — equivalent to the reference's compose + rewire +
     merge (fusion.py:707-807) but order-independent (scored on triples)."""
+    # the map is joined three times (entity_name, subj, obj); persist so the
+    # spectral applyInPandas subtree runs once, not per join (the pipeline
+    # runner gets the same effect from its checkpoint)
+    mm = mm.persist()
     m2 = apply_merge_map(all_mentions, mm, ["entity_name"])
     t2 = apply_merge_map(all_triples, mm, ["subj", "obj"])
     t2 = t2.select(

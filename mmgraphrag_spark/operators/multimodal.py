@@ -1,0 +1,110 @@
+"""Multimodal payload plumbing: opaque binary columns + typed metadata, with
+Arrow-batched decode / feature / frame-sample UDFs.
+
+The container ships no image/audio/video libraries, so the *inference* inside
+each UDF is either a clearly-marked ``NotImplementedError`` (real decode) or
+a deterministic fake — but the Spark-side plumbing is real and tested: the
+payload travels as a ``binary`` column, UDFs are ``mapInPandas`` over Arrow
+batches (bytes never hit the driver), and output schemas are typed. On a real
+cluster you replace ``_fake_decode`` with PIL/ffmpeg calls per batch and
+nothing else changes.
+
+The deterministic fakes are arithmetic on payload length / content, so every
+query here has an exact DuckDB twin (oracle_extra.mm_*_sql) — the *plumbing*
+is what the parity check exercises.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+DECODE_SCHEMA = (
+    "media_ref string, byte_len long, width long, height long, n_channels long"
+)
+FRAME_SCHEMA = "media_ref string, frame_idx long, frame_md5 string"
+
+
+def media_payloads(media: DataFrame) -> DataFrame:
+    """(media_ref, mime, byte_len, payload binary): opaque media bytes.
+
+    Payload is a deterministic fake (utf-8 of 'ref:context' standing in for
+    the image file the reference reads per-path, img2graph.py:365-367);
+    at production scale this column is a pointer-or-inline blob from the
+    lake (media_ref resolves to object storage).
+    """
+    body = F.concat(F.col("media_ref"), F.lit(":"), F.col("context"))
+    return media.select(
+        "media_ref",
+        F.lit("image/fake").alias("mime"),
+        F.length(body).cast("long").alias("byte_len"),
+        F.encode(body, "UTF-8").alias("payload"),
+    )
+
+
+def _fake_decode(pdf):
+    """Deterministic stand-in for image decoding (no vision libs here)."""
+    import pandas as pd
+
+    n = pdf["payload"].map(len).astype("int64")
+    return pd.DataFrame({
+        "media_ref": pdf["media_ref"],
+        "byte_len": n,
+        "width": 16 + n % 64,
+        "height": 16 + (n * 7) % 64,
+        "n_channels": 3,
+    })
+
+
+def decode_media(
+    payloads: DataFrame, decoder: Callable | None = None
+) -> DataFrame:
+    """Arrow-batched decode: binary payload -> typed image metadata.
+
+    ``decoder(pdf) -> pdf[DECODE_SCHEMA]`` runs real decoding in production;
+    pass ``decoder="real"`` to see the explicit not-implemented marker.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real image decoding needs PIL/libvips, not present in this "
+            "container — wire a batch decoder callable instead"
+        )
+    import pandas as pd
+
+    fn = decoder or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    return payloads.select("media_ref", "payload").mapInPandas(
+        run, schema=DECODE_SCHEMA
+    )
+
+
+def frame_samples(payloads: DataFrame, n_frames: int = 3, frame_bytes: int = 16) -> DataFrame:
+    """Arrow-batched frame sampling: treat the payload as a stream and hash
+    fixed-width byte windows ('frames'). Real video sampling swaps the window
+    slicing for ffmpeg keyframe extraction; schema and batching identical."""
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "frame_idx": [], "frame_md5": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                data = bytes(payload)
+                for k in range(n_frames):
+                    chunk = data[k * frame_bytes : (k + 1) * frame_bytes]
+                    if not chunk:
+                        break
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(k)
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return payloads.select("media_ref", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -1,0 +1,190 @@
+"""Query-side operators: J1 best-match join and local-query context assembly.
+
+* J1 — image→chunk best-match: score each chunk of the doc by how many of the
+  media context's word occurrences appear among the chunk's tokens, keep the
+  argmax (reference ``find_chunk_for_image``,
+  /root/reference/mmgraphrag/preprocessing.py:177-205 — an all-chunks scan
+  with Python substring checks; re-expressed as an inverted-index equi-join +
+  count + row_number, the scalable form of the same argmax).
+
+* context assembly — the reference's local query path
+  (/root/reference/mmgraphrag/query.py:313-469): seed entities from the query
+  (T1; the vector top-k is swapped for deterministic token-match seeding so
+  the oracle can replicate it — ann_topk covers the vector path separately),
+  join node attrs + degrees (J7/A5), expand one hop (J8/U4), rank edges by
+  (degree-rank desc, weight desc) (T2), truncate to a token budget with a
+  running-sum window (T4, reference truncate_list_by_token_size
+  base.py:187-214).
+
+All pure column ops; the only shuffles are the two groupBys and the seed
+join (broadcast — seeds are tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .canonicalize import degrees
+
+
+def media_chunk_match(media: DataFrame, chunks: DataFrame) -> DataFrame:
+    """J1: (doc_id, media_ref, chunk_id, score) — best chunk per media span.
+
+    Ties break to the lowest chunk_order_index then chunk_id (deterministic).
+    """
+    ctx_words = media.select(
+        "doc_id", "media_ref",
+        F.posexplode(F.split("context", " ")).alias("pos", "tok"),
+    )
+    inv = chunks.select(
+        "doc_id", "chunk_id", "chunk_order_index",
+        F.explode(F.array_distinct(F.split("content", " "))).alias("tok"),
+    )
+    scored = (
+        ctx_words.join(inv, ["doc_id", "tok"])
+        .groupBy("doc_id", "media_ref", "chunk_id", "chunk_order_index")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy("media_ref").orderBy(
+        F.desc("score"), F.asc("chunk_order_index"), F.asc("chunk_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "media_ref", "chunk_id", F.col("score").cast("long").alias("score"))
+    )
+
+
+def seed_entities(nodes: DataFrame, edges: DataFrame, query: str, k: int = 5) -> DataFrame:
+    """T1/J7: top-k seed entities for a query string — entities named by a
+    query token, ranked by (degree desc, name asc)."""
+    toks = [t.upper() for t in query.split() if t]
+    deg = degrees(edges)
+    cand = nodes.filter(F.col("entity_name").isin(toks)).join(deg, "entity_name", "left")
+    w = Window.orderBy(F.desc(F.coalesce("degree", F.lit(0))), F.asc("entity_name"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "entity_name", "entity_type",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def context_edges(
+    nodes: DataFrame, edges: DataFrame, query: str,
+    k: int = 5, token_budget: int = 4000,
+) -> DataFrame:
+    """J8 + T2 + T4: one-hop edges of the seeds, ranked by
+    (deg(src)+deg(dst) desc, weight desc), truncated to a running
+    description-length budget."""
+    seeds = seed_entities(nodes, edges, query, k).select("entity_name")
+    touching = edges.join(
+        F.broadcast(seeds),
+        (edges["src"] == seeds["entity_name"]) | (edges["dst"] == seeds["entity_name"]),
+        "left_semi",
+    )
+    deg = degrees(edges)
+    ranked = (
+        touching.join(
+            deg.select(F.col("entity_name").alias("src"), F.col("degree").alias("ds")), "src"
+        )
+        .join(
+            deg.select(F.col("entity_name").alias("dst"), F.col("degree").alias("dd")), "dst"
+        )
+        .withColumn("edge_rank", (F.col("ds") + F.col("dd")).cast("long"))
+    )
+    w = Window.orderBy(
+        F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("dst")
+    )
+    return (
+        ranked.withColumn(
+            "running_tokens",
+            F.sum(F.length("description")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("running_tokens") <= token_budget)
+        .select(
+            "src", "dst", "weight", "description", "edge_rank",
+            F.col("running_tokens").cast("long").alias("running_tokens"),
+        )
+    )
+
+
+def context_chunks(
+    nodes: DataFrame, edges: DataFrame, chunks: DataFrame, query: str,
+    k: int = 5, token_budget: int = 400,
+) -> DataFrame:
+    """T3/T4/P10: text units for the context — the seeds' source chunks,
+    ranked by (chunk_order_index asc, relation_counts desc) where
+    relation_counts = number of context edges citing the chunk (reference
+    query.py:121-152), truncated to a running token budget."""
+    seeds = seed_entities(nodes, edges, query, k).select("entity_name")
+    seed_nodes = nodes.join(F.broadcast(seeds), "entity_name", "left_semi")
+    seed_chunks = (
+        seed_nodes.select(
+            F.explode(F.split("source_id", "<SEP>")).alias("chunk_id")
+        )
+        .filter(F.col("chunk_id").startswith("chunk-"))  # P10
+        .distinct()
+    )
+    touching = edges.join(
+        F.broadcast(seeds),
+        (edges["src"] == seeds["entity_name"]) | (edges["dst"] == seeds["entity_name"]),
+        "left_semi",
+    )
+    edge_cites = (
+        touching.select(F.explode(F.split("source_id", "<SEP>")).alias("chunk_id"))
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("relation_counts"))
+    )
+    ranked = (
+        seed_chunks.join(chunks, "chunk_id")
+        .join(edge_cites, "chunk_id", "left")
+        .withColumn("relation_counts", F.coalesce("relation_counts", F.lit(0)).cast("long"))
+    )
+    w = Window.orderBy(
+        F.asc("chunk_order_index"), F.desc("relation_counts"), F.asc("chunk_id")
+    )
+    return (
+        ranked.withColumn(
+            "running_tokens",
+            F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("running_tokens") <= token_budget)
+        .select(
+            "chunk_id", "doc_id", "chunk_order_index",
+            F.col("tokens").cast("long").alias("tokens"),
+            "relation_counts",
+            F.col("running_tokens").cast("long").alias("running_tokens"),
+        )
+    )
+
+
+def top_media_entities(nodes: DataFrame, n: int = 3) -> DataFrame:
+    """T6: first N ORI_IMG entities for the multimodal answer path
+    (reference query.py:414-420, number_of_mmentities=3); deterministic
+    order by entity_name."""
+    return (
+        nodes.filter(F.col("entity_type") == "ORI_IMG")
+        .orderBy("entity_name")
+        .limit(n)
+        .select("entity_name", "entity_type", "source_id")
+    )
+
+
+def one_hop_entities(nodes: DataFrame, edges: DataFrame, query: str, k: int = 5) -> DataFrame:
+    """J8/U2: distinct neighbor set of the seeds (incl. the seeds)."""
+    seeds = seed_entities(nodes, edges, query, k).select("entity_name")
+    touching = edges.join(
+        F.broadcast(seeds),
+        (edges["src"] == seeds["entity_name"]) | (edges["dst"] == seeds["entity_name"]),
+        "left_semi",
+    )
+    hop = touching.select(F.explode(F.array("src", "dst")).alias("entity_name")).distinct()
+    return hop.join(nodes, "entity_name").select(
+        "entity_name", "entity_type"
+    )

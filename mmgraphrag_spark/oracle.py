@@ -309,6 +309,167 @@ def img_triples_select() -> str:
     )
 
 
+def media_chunk_match_select(cfg: PipelineConfig = DEFAULT) -> str:
+    return """
+SELECT doc_id, media_ref, chunk_id, score FROM (
+  SELECT s.doc_id, s.media_ref, s.chunk_id, s.score,
+         row_number() OVER (PARTITION BY s.media_ref
+                            ORDER BY s.score DESC, s.chunk_order_index ASC,
+                                     s.chunk_id ASC) AS rn
+  FROM (
+    SELECT c.doc_id, c.media_ref, v.chunk_id, v.chunk_order_index,
+           count(*) AS score
+    FROM (
+      SELECT m.doc_id, m.media_ref,
+             string_split(m.context, ' ')[CAST(u.i AS INT) + 1] AS tok
+      FROM media m, UNNEST(range(len(string_split(m.context, ' ')))) AS u(i)
+    ) c
+    JOIN (
+      SELECT doc_id, chunk_id, chunk_order_index,
+             unnest(list_distinct(string_split(content, ' '))) AS tok
+      FROM chunks
+    ) v ON c.doc_id = v.doc_id AND c.tok = v.tok
+    GROUP BY 1, 2, 3, 4
+  ) s
+) b WHERE rn = 1
+"""
+
+
+def _qctx_ctes(cfg: PipelineConfig = DEFAULT) -> str:
+    toks = ", ".join(f"'{t.upper()}'" for t in cfg.qctx_query.split())
+    return f"""
+deg AS (
+  SELECT entity_name, count(*) AS degree FROM (
+    SELECT src AS entity_name FROM edges
+    UNION ALL SELECT dst AS entity_name FROM edges
+  ) u GROUP BY 1
+),
+seeds AS (
+  SELECT entity_name, entity_type, degree, rnk FROM (
+    SELECT n.entity_name, n.entity_type,
+           coalesce(d.degree, 0) AS degree,
+           row_number() OVER (ORDER BY coalesce(d.degree, 0) DESC,
+                              n.entity_name ASC) AS rnk
+    FROM nodes n LEFT JOIN deg d USING (entity_name)
+    WHERE n.entity_name IN ({toks})
+  ) s WHERE rnk <= {cfg.qctx_k}
+),
+touching AS (
+  SELECT e.* FROM edges e
+  WHERE EXISTS (SELECT 1 FROM seeds s
+                WHERE s.entity_name = e.src OR s.entity_name = e.dst)
+)"""
+
+
+def qctx_seeds_sql(cfg: PipelineConfig = DEFAULT) -> str:
+    return (
+        cte_prefix(cfg) + "," + _qctx_ctes(cfg)
+        + "\nSELECT entity_name, entity_type, degree, rnk FROM seeds"
+    )
+
+
+def qctx_edges_sql(cfg: PipelineConfig = DEFAULT) -> str:
+    return (
+        cte_prefix(cfg) + "," + _qctx_ctes(cfg) + f""",
+ranked AS (
+  SELECT t.src, t.dst, t.weight, t.description,
+         CAST(ds.degree + dd.degree AS BIGINT) AS edge_rank
+  FROM touching t
+  JOIN deg ds ON ds.entity_name = t.src
+  JOIN deg dd ON dd.entity_name = t.dst
+),
+runn AS (
+  SELECT src, dst, weight, description, edge_rank,
+         sum(length(description)) OVER (
+           ORDER BY edge_rank DESC, weight DESC, src ASC, dst ASC
+           ROWS UNBOUNDED PRECEDING) AS running_tokens
+  FROM ranked
+)
+SELECT src, dst, weight, description, edge_rank,
+       CAST(running_tokens AS BIGINT) AS running_tokens
+FROM runn WHERE running_tokens <= {cfg.qctx_token_budget}
+"""
+    )
+
+
+def qctx_chunks_sql(cfg: PipelineConfig = DEFAULT, token_budget: int = 400) -> str:
+    return (
+        cte_prefix(cfg) + "," + _qctx_ctes(cfg) + f""",
+seed_chunks AS (
+  SELECT DISTINCT cid AS chunk_id FROM (
+    SELECT unnest(string_split(n.source_id, '<SEP>')) AS cid
+    FROM nodes n WHERE EXISTS (SELECT 1 FROM seeds s WHERE s.entity_name = n.entity_name)
+  ) u WHERE cid LIKE 'chunk-%'
+),
+edge_cites AS (
+  SELECT cid AS chunk_id, count(*) AS relation_counts FROM (
+    SELECT unnest(string_split(source_id, '<SEP>')) AS cid FROM touching
+  ) u GROUP BY 1
+),
+ranked_chunks AS (
+  SELECT c.chunk_id, c.doc_id, c.chunk_order_index,
+         CAST(c.tokens AS BIGINT) AS tokens,
+         CAST(coalesce(e.relation_counts, 0) AS BIGINT) AS relation_counts
+  FROM seed_chunks s JOIN chunks c USING (chunk_id)
+  LEFT JOIN edge_cites e ON e.chunk_id = c.chunk_id
+),
+runn_chunks AS (
+  SELECT *, sum(tokens) OVER (
+           ORDER BY chunk_order_index ASC, relation_counts DESC, chunk_id ASC
+           ROWS UNBOUNDED PRECEDING) AS running_tokens
+  FROM ranked_chunks
+)
+SELECT chunk_id, doc_id, chunk_order_index, tokens, relation_counts,
+       CAST(running_tokens AS BIGINT) AS running_tokens
+FROM runn_chunks WHERE running_tokens <= {token_budget}
+"""
+    )
+
+
+def top_media_sql(cfg: PipelineConfig = DEFAULT, n: int = 3) -> str:
+    return (
+        cte_prefix(cfg)
+        + f"""
+SELECT entity_name, entity_type, source_id FROM nodes
+WHERE entity_type = 'ORI_IMG' ORDER BY entity_name LIMIT {n}
+"""
+    )
+
+
+def qctx_onehop_sql(cfg: PipelineConfig = DEFAULT) -> str:
+    return (
+        cte_prefix(cfg) + "," + _qctx_ctes(cfg) + """
+SELECT h.entity_name, n.entity_type FROM (
+  SELECT DISTINCT entity_name FROM (
+    SELECT src AS entity_name FROM touching
+    UNION ALL SELECT dst AS entity_name FROM touching
+  ) u
+) h JOIN nodes n USING (entity_name)
+"""
+    )
+
+
+def mm_decode_select() -> str:
+    return """
+SELECT media_ref,
+       CAST(length(media_ref || ':' || context) AS BIGINT) AS byte_len,
+       CAST(16 + length(media_ref || ':' || context) % 64 AS BIGINT) AS width,
+       CAST(16 + (length(media_ref || ':' || context) * 7) % 64 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels
+FROM media
+"""
+
+
+def mm_frames_select(n_frames: int = 3, frame_bytes: int = 16) -> str:
+    return f"""
+SELECT media_ref, CAST(u.k AS BIGINT) AS frame_idx,
+       md5(substr(media_ref || ':' || context,
+                  CAST(u.k AS INT) * {frame_bytes} + 1, {frame_bytes})) AS frame_md5
+FROM media, UNNEST(range({n_frames})) AS u(k)
+WHERE length(media_ref || ':' || context) > CAST(u.k AS INT) * {frame_bytes}
+"""
+
+
 def merge_map_select() -> str:
     return "SELECT doc_id, media_ref, old_name, new_name FROM merge_map"
 

@@ -42,6 +42,15 @@ def get_spark(
         # more partitions only add scheduling overhead at this data size.
         shuffle_partitions = max(ncores, 8)
 
+    # Shuffle/spill files go to tmpfs when available: this sandbox's block
+    # device has intermittent multi-second file-create latency (observed:
+    # executor threads parked in FileOutputStream.open0 while CPUs idle),
+    # which serializes shuffle-heavy stages. Real clusters use local NVMe;
+    # /dev/shm is the local-mode equivalent. Override with $SPARK_LOCAL_DIRS.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None:
+        local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -54,7 +63,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # hub-entity rows carry ~270 KB <SEP>-joined strings; untruncated
+        # parquet min/max statistics copy them per column chunk into the
+        # footer (observed: single-task CPU burn in serializeFooter) — 64
+        # bytes of stats keep predicate pushdown useful without the weight
+        .config("spark.hadoop.parquet.statistics.truncate.length", "64")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,97 @@
+"""Structured Streaming surfaces.
+
+The reference is strictly batch (SURVEY.md §2.11) — these operators extend
+the engine for continuous ingestion, the shape a production KG pipeline needs
+when documents arrive as a feed:
+
+* ``stream_extract`` — incremental KG construction: a parquet-directory
+  stream of documents drives chunk → extract → append-to-mentions via
+  ``foreachBatch``; each micro-batch reuses the exact batch operators, so
+  stream results equal batch results by construction (tested).
+* ``windowed_event_counts`` — the generic streaming demo over the events
+  table: event-time tumbling windows with a watermark for late data.
+
+Both run with ``Trigger.AvailableNow`` in tests (drain-and-stop), the
+recommended pattern for backfill + incremental jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DEFAULT, PipelineConfig
+from ..operators import chunker, extractor
+from .. import synth
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession, events_dir: str, window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming event-time windowed aggregation with late-data watermark."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    return stream
+
+
+def batch_event_counts(spark: SparkSession, events_path: str, window: str = "1 hour") -> DataFrame:
+    """Batch twin of windowed_event_counts (the correctness yardstick)."""
+    return (
+        spark.read.parquet(events_path)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig = DEFAULT,
+):
+    """Incremental KG ingest: stream docs -> chunk -> extract -> append.
+
+    Returns the started StreamingQuery (AvailableNow trigger: drains what is
+    there, then stops — rerun on arrival for incremental backfill, or swap
+    the trigger for continuous micro-batches).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = synth.nest_spans(synth.spans_from_docs(batch_df, cfg))
+        chunks = chunker.chunk_docs(docs, cfg)
+        mentions, triples = extractor.extract_mentions_and_triples(chunks, cfg=cfg)
+        mentions.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{out_dir}/mentions"
+        )
+        triples.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{out_dir}/triples"
+        )
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

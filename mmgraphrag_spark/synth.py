@@ -34,8 +34,12 @@ SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 
 def flat_spans(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     """Exploded spans relation: (doc_id, kind, text, media_ref, offset)."""
+    return spans_from_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"), cfg)
+
+
+def spans_from_docs(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Span derivation from any (doc_id, text) frame (batch or micro-batch)."""
     w, every, mod, cap = cfg.span_words, cfg.media_every, cfg.media_doc_mod, cfg.caption_words
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.select(
         F.col("doc_id").alias("orig_id"),
         F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),

@@ -1,0 +1,86 @@
+"""J1 best-match join, query-context assembly, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_TINY
+
+from mmgraphrag_spark import api
+from mmgraphrag_spark.operators import multimodal, query_ctx
+
+
+def test_media_chunk_match_argmax(spark):
+    media = spark.createDataFrame(
+        [("d1", "m1", "alpha beta", 1)],
+        "doc_id string, media_ref string, context string, media_offset int",
+    )
+    chunks = spark.createDataFrame(
+        [("c1", "d1", 0, 3, "alpha beta gamma"),   # 2 hits
+         ("c2", "d1", 1, 3, "alpha delta x"),       # 1 hit
+         ("c3", "d2", 0, 3, "alpha beta gamma")],   # other doc
+        "chunk_id string, doc_id string, chunk_order_index int, tokens int, content string",
+    )
+    got = query_ctx.media_chunk_match(media, chunks).collect()
+    assert [(r.media_ref, r.chunk_id, r.score) for r in got] == [("m1", "c1", 2)]
+
+
+def test_media_chunk_match_tie_breaks_to_lowest_index(spark):
+    media = spark.createDataFrame(
+        [("d1", "m1", "alpha", 1)],
+        "doc_id string, media_ref string, context string, media_offset int",
+    )
+    chunks = spark.createDataFrame(
+        [("cB", "d1", 2, 1, "alpha"), ("cA", "d1", 1, 1, "alpha")],
+        "chunk_id string, doc_id string, chunk_order_index int, tokens int, content string",
+    )
+    got = query_ctx.media_chunk_match(media, chunks).collect()
+    assert got[0].chunk_id == "cA"
+
+
+def test_qctx_budget_monotone(spark):
+    edges = api.qctx_edges(spark, SF_TINY).toPandas()
+    assert len(edges) > 0
+    assert edges["running_tokens"].is_monotonic_increasing
+    assert edges["running_tokens"].iloc[-1] <= 4000
+    # ranked by (edge_rank desc, weight desc)
+    assert edges["edge_rank"].is_monotonic_decreasing or (
+        edges.sort_values(["edge_rank", "weight"], ascending=False)["edge_rank"]
+        .reset_index(drop=True)
+        .equals(edges["edge_rank"].reset_index(drop=True))
+    )
+
+
+def test_qctx_onehop_includes_seeds(spark):
+    seeds = set(api.qctx_seeds(spark, SF_TINY).toPandas()["entity_name"])
+    hop = set(api.qctx_onehop(spark, SF_TINY).toPandas()["entity_name"])
+    assert seeds and seeds <= hop
+
+
+def test_multimodal_payload_is_binary(spark):
+    pay = multimodal.media_payloads(
+        api.media_table(spark, SF_TINY)
+    )
+    assert dict(pay.dtypes)["payload"] == "binary"
+    row = pay.first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.byte_len == len(row.payload)
+
+
+def test_multimodal_real_decoder_is_marked_unimplemented(spark):
+    pay = multimodal.media_payloads(api.media_table(spark, SF_TINY))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(pay, decoder="real")
+
+
+def test_frame_samples_hash_actual_bytes(spark):
+    import hashlib
+
+    pay = multimodal.media_payloads(api.media_table(spark, SF_TINY))
+    frames = multimodal.frame_samples(pay).toPandas()
+    raw = {r.media_ref: bytes(r.payload) for r in pay.collect()}
+    sample = frames.head(10)
+    for r in sample.itertuples():
+        expect = hashlib.md5(
+            raw[r.media_ref][r.frame_idx * 16 : (r.frame_idx + 1) * 16]
+        ).hexdigest()
+        assert r.frame_md5 == expect
