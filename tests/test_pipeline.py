@@ -20,9 +20,9 @@ def pipe(spark, tmp_path_factory):
 
 
 def test_all_stages_ran_and_checkpointed(pipe):
-    for t in ["spans", "chunks", "extraction_raw", "mentions", "triples",
-              "img_mentions", "img_triples", "nodes", "edges",
-              "fusion_blocks", "fused_nodes", "fused_edges"]:
+    for t in ["spans", "chunks", "extraction_raw",
+              "mentions", "triples", "img_mentions", "img_triples",
+              "nodes", "edges", "fusion_blocks", "fused_nodes", "fused_edges"]:
         assert pipe._complete(t), t
 
 
@@ -44,8 +44,8 @@ def test_mid_pipeline_resume(spark, pipe):
     shutil.rmtree(pipe._path("edges"))
     ran = pipe.run(resume=True)
     assert ran == {"spans": False, "chunks": False, "extract_raw": False,
-                   "parse": False, "media": False, "graph": True,
-                   "fusion": False, "fused_graph": False}
+                   "decode": False, "media": False,
+                   "graph": True, "fusion": False, "fused_graph": False}
     # earlier stages were not recomputed: no new lineage rows for them
     after = pipe.lineage().filter("stage = 'spans'").count()
     assert after == before

@@ -51,23 +51,30 @@ def gen_fixture(sf_dir: str, replicas: int, out_dir: str) -> int:
     return int(n_base[0]) * replicas
 
 
-def _healthy(max_wait_s: int = 600) -> None:
-    """Block until the host looks calm: noisy-neighbor phases last minutes
-    and poison any run started inside one. Probe = fixed single-thread CPU
-    loop; degraded > 2× nominal → wait."""
+def _healthy(max_wait_s: int = 900) -> None:
+    """Block until the host looks calm. Two probes, because the sick phases
+    come in two flavors (stack-sampled, PLANS.md): CPU contention (single-
+    thread loop slows) and page-allocation/IO stalls (tmpfs writes and mmap
+    crawl while CPUs idle). Healthy nominals: loop ~0.3 s, 200 MB tmpfs
+    write ~0.3 s."""
+    import os
     import time
 
     t0 = time.perf_counter()
-    nominal = None
     while True:
         s = time.perf_counter()
         x = 0
         for i in range(3_000_000):
             x += i * i % 7
-        dt = time.perf_counter() - s
-        if nominal is None or dt < nominal:
-            nominal = dt
-        if dt < 2 * 0.30 or time.perf_counter() - t0 > max_wait_s:
+        cpu_dt = time.perf_counter() - s
+
+        s = time.perf_counter()
+        with open("/dev/shm/_health_probe", "wb") as f:
+            f.write(b"\x5a" * (200 * 1024 * 1024))
+        os.remove("/dev/shm/_health_probe")
+        io_dt = time.perf_counter() - s
+
+        if (cpu_dt < 0.6 and io_dt < 0.9) or time.perf_counter() - t0 > max_wait_s:
             return
         time.sleep(30)
 
