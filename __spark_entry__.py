@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clusters": api.clusters,  # spectral labels: non-SQL, rows-only check
         "kg_fused_nodes": api.fused_nodes,
         "kg_fused_edges": api.fused_edges,
+        "kg_enhanced_nodes": api.enhanced_nodes,
+        "kg_enhanced_edges": api.enhanced_edges,
         "mm_decode": api.mm_decode,
         "mm_frames": api.mm_frames,
         "media_chunk_match": api.media_chunk_match,
@@ -79,6 +81,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_merge_map": oracle.q(oracle.merge_map_select()),
         "kg_fused_nodes": oracle.q(oracle.fused_nodes_select()),
         "kg_fused_edges": oracle.q(oracle.fused_edges_select()),
+        "kg_enhanced_nodes": oracle.q(oracle.enh_nodes_select()),
+        "kg_enhanced_edges": oracle.q(oracle.enh_edges_select()),
         "mm_decode": oracle.q(oracle.mm_decode_select()),
         "mm_frames": oracle.q(oracle.mm_frames_select()),
         "media_chunk_match": oracle.q(oracle.media_chunk_match_select()),

@@ -140,6 +140,31 @@ def fused_edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
     return fused_graph(spark, sf_dir, cfg)[1]
 
 
+def enhanced_graph(
+    spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
+) -> tuple[DataFrame, DataFrame]:
+    key = ("enh", id(spark), sf_dir, id(cfg))
+    if key not in _fused_cache:
+        sp = spans(spark, sf_dir, cfg)
+        med = media.media_spans(sp)
+        img = media.image_mentions(med, cfg)
+        blocks = fusion.fusion_blocks(sp, med, img, cfg)
+        mm = fusion.merge_map_from_blocks(blocks).persist()
+        em = fusion.enhance_map(sp, med, img, mm, cfg).persist()
+        _fused_cache[key] = fusion.enhanced_graph(
+            all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm, em
+        )
+    return _fused_cache[key]
+
+
+def enhanced_nodes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return enhanced_graph(spark, sf_dir, cfg)[0]
+
+
+def enhanced_edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return enhanced_graph(spark, sf_dir, cfg)[1]
+
+
 def mm_decode(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     from .operators import multimodal
 

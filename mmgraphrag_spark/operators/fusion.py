@@ -270,6 +270,95 @@ def merge_map(
     return merge_map_from_blocks(fusion_blocks(flat_spans, media, img_mentions, cfg))
 
 
+def enhance_map(
+    flat_spans: DataFrame,
+    media: DataFrame,
+    img_mentions: DataFrame,
+    mm: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+) -> DataFrame:
+    """M9 — enhancement of image entities that fusion did NOT merge.
+
+    Reference semantics (/root/reference/mmgraphrag/fusion.py:504-594): image
+    entities with no text match get LLM-enriched names/descriptions from
+    nearby chunks, then the graph is relabeled. Deterministic analogue: every
+    unmerged scene entity is renamed to ``ENH:<surface>@<REF>`` and its
+    description is extended with its lexicographically-first nearby text
+    entity (the deterministic stand-in for "enrich from nearby context");
+    entities with no nearby text keep ``none`` as context. Output columns
+    (old_name, new_name, new_description) feed the same J6 rename machinery
+    as the merge map.
+    """
+    scene = (
+        img_mentions.filter(~F.col("entity_type").isin("ORI_IMG", "IMG"))
+        .select("doc_id", "entity_name", F.col("source_id").alias("media_ref"))
+        .distinct()
+    )
+    unmerged = scene.join(
+        mm.select(F.col("old_name").alias("entity_name")).distinct(),
+        "entity_name", "left_anti",
+    )
+    nearest = (
+        nearby_text_entities(flat_spans, media, cfg)
+        .groupBy("media_ref")
+        .agg(F.min("entity_name").alias("ctx_entity"))
+    )
+    surface = F.expr("split(entity_name, '@')[0]")
+    return (
+        unmerged.join(nearest, "media_ref", "left")
+        .select(
+            "doc_id", "media_ref",
+            F.col("entity_name").alias("old_name"),
+            F.concat(
+                F.lit("ENH:"), surface, F.lit("@"), F.upper("media_ref")
+            ).alias("new_name"),
+            F.coalesce(F.col("ctx_entity"), F.lit("none")).alias("ctx_entity"),
+        )
+    )
+
+
+def enhanced_graph(
+    all_mentions: DataFrame,
+    all_triples: DataFrame,
+    mm: DataFrame,
+    em: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """M9 composition: J6 merge rewiring, then rename unmerged image entities
+    and append their context to descriptions, then re-canonicalize."""
+    m2 = apply_merge_map(all_mentions, mm, ["entity_name"])
+    t2 = apply_merge_map(all_triples, mm, ["subj", "obj"])
+
+    e = F.broadcast(em.select("old_name", "new_name", "ctx_entity").distinct())
+    m3 = (
+        m2.join(e, m2["entity_name"] == e["old_name"], "left")
+        .select(
+            F.coalesce("new_name", "entity_name").alias("entity_name"),
+            "entity_type",
+            F.when(
+                F.col("new_name").isNotNull(),
+                F.concat("description", F.lit(" | context: "), "ctx_entity"),
+            ).otherwise(F.col("description")).alias("description"),
+            "source_id",
+        )
+    )
+    names = F.broadcast(em.select("old_name", "new_name").distinct())
+    t3 = t2
+    for c in ["subj", "obj"]:
+        t3 = (
+            t3.join(names, t3[c] == names["old_name"], "left")
+            .withColumn(c, F.coalesce("new_name", c))
+            .drop("old_name", "new_name")
+        )
+    t3 = t3.select(
+        F.least("subj", "obj").alias("subj"),
+        F.greatest("subj", "obj").alias("obj"),
+        "description", "weight", "source_id", "order",
+    )
+    nodes = canon.build_nodes(m3)
+    edges = canon.build_edges(t3)
+    return canon.add_stub_nodes(nodes, edges), edges
+
+
 def apply_merge_map(df: DataFrame, mm: DataFrame, cols: list[str]) -> DataFrame:
     """J6 rewiring: replace every occurrence of an old name in ``cols`` with
     its canonical name. The merge map is small (≤ scene entities) →

@@ -1,0 +1,71 @@
+"""S6 — GraphML export of the node/edge tables.
+
+The reference persists every graph as GraphML
+(/root/reference/mmgraphrag/storage.py:336-341; node keys d0-d2 = entity_type,
+description, source_id; edge keys d3-d6 = weight, description, source_id,
+order; ``edgedefault="undirected"``). Our canonical store is the checkpoint
+tables — GraphML is an export artifact for parity diffs against the
+reference's example_output, produced driver-side (graphs at human-diff scale;
+the distributed path would be ``df.write.text`` of rendered fragments).
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame
+
+HEADER = """<?xml version='1.0' encoding='utf-8'?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:schemaLocation="http://graphml.graphdrawing.org/xmlns http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd">
+  <key id="d6" for="edge" attr.name="order" attr.type="long" />
+  <key id="d5" for="edge" attr.name="source_id" attr.type="string" />
+  <key id="d4" for="edge" attr.name="description" attr.type="string" />
+  <key id="d3" for="edge" attr.name="weight" attr.type="double" />
+  <key id="d2" for="node" attr.name="source_id" attr.type="string" />
+  <key id="d1" for="node" attr.name="description" attr.type="string" />
+  <key id="d0" for="node" attr.name="entity_type" attr.type="string" />
+  <graph edgedefault="undirected">
+"""
+FOOTER = "  </graph>\n</graphml>\n"
+
+
+def export_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> int:
+    """Write nodes+edges as reference-shaped GraphML; returns element count."""
+    parts: list[str] = [HEADER]
+    n = 0
+    for r in nodes.orderBy("entity_name").toLocalIterator():
+        parts.append(
+            f'    <node id="{escape(r.entity_name)}">\n'
+            f'      <data key="d0">{escape(r.entity_type)}</data>\n'
+            f'      <data key="d1">{escape(r.description)}</data>\n'
+            f'      <data key="d2">{escape(r.source_id)}</data>\n'
+            "    </node>\n"
+        )
+        n += 1
+    for r in edges.orderBy("src", "dst").toLocalIterator():
+        parts.append(
+            f'    <edge source="{escape(r.src)}" target="{escape(r.dst)}">\n'
+            f'      <data key="d3">{r.weight}</data>\n'
+            f'      <data key="d4">{escape(r.description)}</data>\n'
+            f'      <data key="d5">{escape(r.source_id)}</data>\n'
+            f'      <data key="d6">{r["order"]}</data>\n'
+            "    </edge>\n"
+        )
+        n += 1
+    parts.append(FOOTER)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("".join(parts))
+    return n
+
+
+def read_graphml_counts(path: str) -> tuple[int, int]:
+    """S5 (parity helper): node/edge counts from a GraphML file."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.parse(path).getroot()
+    graph = root.find("g:graph", ns)
+    return (
+        len(graph.findall("g:node", ns)),
+        len(graph.findall("g:edge", ns)),
+    )

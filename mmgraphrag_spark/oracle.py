@@ -259,6 +259,60 @@ fused_edges AS (
          string_agg(DISTINCT source_id, '<SEP>' ORDER BY source_id) AS source_id,
          min("order") AS "order"
   FROM fused_triples GROUP BY 1, 2
+),
+enh_map AS (
+  SELECT s.media_ref, s.entity_name AS old_name,
+         'ENH:' || split_part(s.entity_name, '@', 1) || '@' || upper(s.media_ref) AS new_name,
+         coalesce(n.ctx_entity, 'none') AS ctx_entity
+  FROM (SELECT DISTINCT entity_name, source_id AS media_ref FROM img_scene) s
+  LEFT JOIN (SELECT media_ref, min(entity_name) AS ctx_entity
+             FROM nearby GROUP BY 1) n USING (media_ref)
+  WHERE NOT EXISTS (SELECT 1 FROM mmap m WHERE m.old_name = s.entity_name)
+),
+enh_mentions AS (
+  SELECT coalesce(e.new_name, fm.entity_name) AS entity_name, fm.entity_type,
+         CASE WHEN e.new_name IS NOT NULL
+              THEN fm.description || ' | context: ' || e.ctx_entity
+              ELSE fm.description END AS description,
+         fm.source_id
+  FROM fused_mentions fm LEFT JOIN enh_map e ON fm.entity_name = e.old_name
+),
+enh_triples AS (
+  SELECT least(s2, o2) AS subj, greatest(s2, o2) AS obj,
+         description, weight, source_id, "order"
+  FROM (
+    SELECT coalesce(m1.new_name, t.subj) AS s2,
+           coalesce(m2.new_name, t.obj) AS o2,
+           t.description, t.weight, t.source_id, t."order"
+    FROM fused_triples t
+    LEFT JOIN enh_map m1 ON t.subj = m1.old_name
+    LEFT JOIN enh_map m2 ON t.obj = m2.old_name
+  ) x
+),
+enh_typecnt AS (
+  SELECT entity_name, entity_type, count(*) AS cnt FROM enh_mentions GROUP BY 1, 2
+),
+enh_toptype AS (
+  SELECT entity_name, entity_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity_name
+                                 ORDER BY cnt DESC, entity_type ASC) AS rn
+    FROM enh_typecnt
+  ) t WHERE rn = 1
+),
+enh_nodes AS (
+  SELECT n.entity_name, t.entity_type,
+         string_agg(DISTINCT n.description, '<SEP>' ORDER BY n.description) AS description,
+         string_agg(DISTINCT n.source_id, '<SEP>' ORDER BY n.source_id) AS source_id
+  FROM enh_mentions n JOIN enh_toptype t USING (entity_name)
+  GROUP BY n.entity_name, t.entity_type
+),
+enh_edges AS (
+  SELECT subj AS src, obj AS dst,
+         sum(weight) AS weight,
+         string_agg(DISTINCT description, '<SEP>' ORDER BY description) AS description,
+         string_agg(DISTINCT source_id, '<SEP>' ORDER BY source_id) AS source_id,
+         min("order") AS "order"
+  FROM enh_triples GROUP BY 1, 2
 )
 """
 
@@ -480,6 +534,14 @@ def fused_nodes_select() -> str:
 
 def fused_edges_select() -> str:
     return 'SELECT src, dst, weight, description, source_id, "order" FROM fused_edges'
+
+
+def enh_nodes_select() -> str:
+    return "SELECT entity_name, entity_type, description, source_id FROM enh_nodes"
+
+
+def enh_edges_select() -> str:
+    return 'SELECT src, dst, weight, description, source_id, "order" FROM enh_edges'
 
 
 def q(select: str, cfg: PipelineConfig = DEFAULT) -> str:
