@@ -18,13 +18,32 @@ from . import synth
 # Memoized shared sub-plans, persisted: the driver runs ~30 queries against
 # the same (session, sf_dir) and most KG queries share the spans→chunks→
 # extraction prefix — caching it turns the correctness pass from O(queries ×
-# pipeline) into O(pipeline + queries × suffix). Keys use id(spark) so a new
-# session never sees another session's plans.
+# pipeline) into O(pipeline + queries × suffix). Keys use the Spark
+# applicationId (stable per session, never recycled like id()) plus the
+# config's value repr; entries from other/stopped sessions are purged on
+# access so long-lived processes don't leak persisted plans.
 _plan_cache: dict = {}
 
 
+def _purge_other_apps(cache: dict, app_id: str) -> None:
+    for k in [k for k in cache if k[1] != app_id]:
+        v = cache.pop(k)
+        for df in v if isinstance(v, tuple) else (v,):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # owning session already stopped
+
+
+def _key(name: str, spark: SparkSession, sf_dir: str, cfg: PipelineConfig):
+    app_id = spark.sparkContext.applicationId
+    _purge_other_apps(_plan_cache, app_id)
+    _purge_other_apps(_fused_cache, app_id)
+    return (name, app_id, sf_dir, repr(cfg))
+
+
 def _memo(name: str, spark: SparkSession, sf_dir: str, cfg: PipelineConfig, build):
-    key = (name, id(spark), sf_dir, id(cfg))
+    key = _key(name, spark, sf_dir, cfg)
     if key not in _plan_cache:
         _plan_cache[key] = build().persist()
     return _plan_cache[key]
@@ -123,7 +142,7 @@ def fused_graph(
 ) -> tuple[DataFrame, DataFrame]:
     # memoize per (session, sf_dir, cfg): the driver calls fused_nodes and
     # fused_edges separately — reuse one plan (and its persisted merge map)
-    key = (id(spark), sf_dir, id(cfg))
+    key = _key("fused", spark, sf_dir, cfg)
     if key not in _fused_cache:
         mm = merge_map(spark, sf_dir, cfg)
         _fused_cache[key] = fusion.fuse_graph(
@@ -143,7 +162,7 @@ def fused_edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
 def enhanced_graph(
     spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:
-    key = ("enh", id(spark), sf_dir, id(cfg))
+    key = _key("enh", spark, sf_dir, cfg)
     if key not in _fused_cache:
         sp = spans(spark, sf_dir, cfg)
         med = media.media_spans(sp)

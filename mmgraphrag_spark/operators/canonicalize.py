@@ -30,30 +30,42 @@ from ..config import GRAPH_FIELD_SEP
 _SEP = GRAPH_FIELD_SEP
 
 
-def _mode_type(pairs: DataFrame, key: str = "entity_name") -> DataFrame:
+def _mode_type(pairs: DataFrame, keys: list[str]) -> DataFrame:
     """Deterministic mode of entity_type per key: (count desc, type asc)."""
-    cnt = pairs.groupBy(key, "entity_type").agg(F.count(F.lit(1)).alias("cnt"))
-    win = Window.partitionBy(key).orderBy(F.desc("cnt"), F.asc("entity_type"))
+    cnt = pairs.groupBy(*keys, "entity_type").agg(F.count(F.lit(1)).alias("cnt"))
+    win = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("entity_type"))
     return (
         cnt.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") == 1)
-        .select(key, "entity_type")
+        .select(*keys, "entity_type")
     )
 
 
-def build_nodes(mentions: DataFrame, salted: bool = False, buckets: int = 8) -> DataFrame:
-    """A1: mentions -> nodes(entity_name, entity_type, description, source_id)."""
+def build_nodes(
+    mentions: DataFrame,
+    salted: bool = False,
+    buckets: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """A1: mentions -> nodes(entity_name, entity_type, description, source_id).
+
+    ``group_cols`` prepends extra grouping keys (e.g. a per-image graph id, the
+    reference's one-graph-per-image model, img2graph.py:140-206): the merge
+    then happens independently per group in the same single shuffle.
+    """
+    g = list(group_cols or [])
+    keys = g + ["entity_name"]
     if salted:
         salt = F.pmod(F.xxhash64("description", "source_id"), F.lit(buckets))
         partial = (
             mentions.withColumn("salt", salt)
-            .groupBy("entity_name", "salt")
+            .groupBy(*keys, "salt")
             .agg(
                 F.collect_set("description").alias("ds"),
                 F.collect_set("source_id").alias("ss"),
             )
         )
-        agg = partial.groupBy("entity_name").agg(
+        agg = partial.groupBy(*keys).agg(
             F.array_join(
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list("ds")))), _SEP
             ).alias("description"),
@@ -62,7 +74,7 @@ def build_nodes(mentions: DataFrame, salted: bool = False, buckets: int = 8) -> 
             ).alias("source_id"),
         )
     else:
-        agg = mentions.groupBy("entity_name").agg(
+        agg = mentions.groupBy(*keys).agg(
             F.array_join(F.array_sort(F.collect_set("description")), _SEP).alias(
                 "description"
             ),
@@ -70,27 +82,35 @@ def build_nodes(mentions: DataFrame, salted: bool = False, buckets: int = 8) -> 
                 "source_id"
             ),
         )
-    top = _mode_type(mentions.select("entity_name", "entity_type"))
-    # both sides are already hash-partitioned by entity_name → co-located join
-    return agg.join(top, "entity_name").select(
-        "entity_name", "entity_type", "description", "source_id"
+    top = _mode_type(mentions.select(*keys, "entity_type"), keys)
+    # both sides are already hash-partitioned by the group keys → co-located join
+    return agg.join(top, keys).select(
+        *g, "entity_name", "entity_type", "description", "source_id"
     )
 
 
-def build_edges(triples: DataFrame, salted: bool = False, buckets: int = 8) -> DataFrame:
+def build_edges(
+    triples: DataFrame,
+    salted: bool = False,
+    buckets: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """A2: triples -> edges(src, dst, weight, description, source_id, order).
 
     Expects canonical (subj, obj) = (least, greatest) from the decoder.
+    ``group_cols`` scopes the merge per group (per-image graphs).
     """
+    g = list(group_cols or [])
     t = triples.select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        *g, F.col("subj").alias("src"), F.col("obj").alias("dst"),
         "weight", "description", "source_id", "order",
     )
+    keys = g + ["src", "dst"]
     if salted:
         salt = F.pmod(F.xxhash64("source_id", "description"), F.lit(buckets))
         partial = (
             t.withColumn("salt", salt)
-            .groupBy("src", "dst", "salt")
+            .groupBy(*keys, "salt")
             .agg(
                 F.sum("weight").alias("w"),
                 F.min("order").alias("o"),
@@ -98,7 +118,7 @@ def build_edges(triples: DataFrame, salted: bool = False, buckets: int = 8) -> D
                 F.collect_set("source_id").alias("ss"),
             )
         )
-        return partial.groupBy("src", "dst").agg(
+        return partial.groupBy(*keys).agg(
             F.sum("w").alias("weight"),
             F.array_join(
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list("ds")))), _SEP
@@ -108,7 +128,7 @@ def build_edges(triples: DataFrame, salted: bool = False, buckets: int = 8) -> D
             ).alias("source_id"),
             F.min("o").alias("order"),
         )
-    return t.groupBy("src", "dst").agg(
+    return t.groupBy(*keys).agg(
         F.sum("weight").alias("weight"),
         F.array_join(F.array_sort(F.collect_set("description")), _SEP).alias(
             "description"
@@ -118,28 +138,32 @@ def build_edges(triples: DataFrame, salted: bool = False, buckets: int = 8) -> D
     )
 
 
-def add_stub_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def add_stub_nodes(
+    nodes: DataFrame, edges: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Stub rule: every edge endpoint exists as a node (text2graph.py:252-261).
 
     Missing endpoints become UNKNOWN-typed nodes carrying the edge's
     description/source_id (first edge by (src,dst) order for determinism).
     """
+    g = list(group_cols or [])
+    keys = g + ["entity_name"]
     endpoints = edges.select(
-        F.explode(F.array("src", "dst")).alias("entity_name"),
+        *g, F.explode(F.array("src", "dst")).alias("entity_name"),
         "description", "source_id",
     )
-    win = Window.partitionBy("entity_name").orderBy("description", "source_id")
+    win = Window.partitionBy(*keys).orderBy("description", "source_id")
     missing = (
-        endpoints.join(nodes.select("entity_name"), "entity_name", "left_anti")
+        endpoints.join(nodes.select(*keys), keys, "left_anti")
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") == 1)
         .select(
-            "entity_name",
+            *keys,
             F.lit("UNKNOWN").alias("entity_type"),
             "description", "source_id",
         )
     )
-    return nodes.unionByName(missing)
+    return nodes.unionByName(missing.select(*keys, "entity_type", "description", "source_id"))
 
 
 def degrees(edges: DataFrame) -> DataFrame:

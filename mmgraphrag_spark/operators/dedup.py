@@ -142,12 +142,26 @@ def minhash_near_duplicates(
 
 # ---- simhash ----------------------------------------------------------------
 
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """(doc_id, simhash): per-token 16-bit hash = first 4 md5 hex chars;
-    signature bit j set iff more tokens have bit j than not."""
+SIMHASH_BITS = 60    # 15 md5 hex chars -> always positive in signed int64,
+                     # identical arithmetic in Spark and DuckDB
+SIMHASH_BLOCKS = 4   # pigeonhole: hamming <= B-1 guarantees a matching block;
+                     # 4 blocks covers max_hamming <= 3
+_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 15
+_BLOCK_MASK = (1 << _BLOCK_BITS) - 1
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): per-token ``bits``-wide hash = leading md5 hex chars;
+    signature bit j set iff more tokens have bit j than not.
+
+    60 bits (not 16): at web-corpus scale a narrow signature collapses the
+    banding buckets into giant candidate groups; 60 bits / 4 x 15-bit blocks
+    keeps expected bucket occupancy ~n/2^15 per block.
+    """
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = toks.select(
-        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("hv")
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10).cast("long").alias("hv"),
     )
     votes = [
         F.sum(F.when(F.shiftright(F.col("hv"), j).bitwiseAND(1) == 1, 1).otherwise(-1))
@@ -163,16 +177,23 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """(a, b, hamming): pairs within hamming distance, bucketed by 8-bit
-    halves (hamming ≤ 2 < number of halves ⇒ some half matches exactly)."""
+    """(a, b, hamming): pairs within hamming distance, blocked on 4 x 15-bit
+    signature blocks (pigeonhole: hamming <= 3 < 4 blocks ⇒ at least one block
+    matches exactly; the old 2-half scheme silently lost hamming-2 pairs whose
+    differing bits straddled both halves)."""
+    assert max_hamming < SIMHASH_BLOCKS, "pigeonhole needs blocks > max_hamming"
     s = simhash(docs)
     halves = s.select(
         "doc_id", "simhash",
         F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("h"), (F.col("simhash") % 256).alias("hk")),
-                F.struct(F.lit(1).alias("h"), F.shiftright(F.col("simhash"), 8).cast("long").alias("hk")),
-            )
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("h"),
+                    F.shiftright(F.col("simhash"), i * _BLOCK_BITS)
+                    .bitwiseAND(F.lit(_BLOCK_MASK)).cast("long").alias("hk"),
+                )
+                for i in range(SIMHASH_BLOCKS)
+            ])
         ).alias("p"),
     ).select("doc_id", "simhash", F.col("p.h").alias("h"), F.col("p.hk").alias("hk"))
     x, y = halves.alias("x"), halves.alias("y")

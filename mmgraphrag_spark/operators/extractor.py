@@ -125,6 +125,33 @@ def extract_raw(
     )
 
 
+def extract_raw_with_cache(
+    chunks: DataFrame,
+    cache: DataFrame,
+    extractor: Callable | None = None,
+    cfg: PipelineConfig = DEFAULT,
+) -> tuple[DataFrame, DataFrame]:
+    """J10 — response-cache join (reference llm.py:34-49, content-addressed
+    there by md5(model+messages), here by chunk_id = md5(chunk content), C2).
+
+    Only cache MISSES reach the extractor (the expensive Python/LLM stage);
+    hits are served from the cache table. Returns ``(all_raw, new_raw)`` —
+    union of hits + fresh extractions, and the fresh rows alone (append these
+    to the cache table to make the next run incremental).
+
+    Scale shape: two equi-joins on chunk_id (one semi for hits, one anti for
+    misses). In streaming, the per-batch side is small → AQE broadcasts it
+    against the big cache scan; in batch backfill both sides hash-partition
+    on chunk_id.
+    """
+    c = chunks.select("doc_id", "chunk_id", "content")
+    cache_kv = cache.select("chunk_id", "output")
+    hits = c.join(cache_kv, "chunk_id").select("doc_id", "chunk_id", "output")
+    misses = c.join(cache_kv.select("chunk_id"), "chunk_id", "left_anti")
+    new = extract_raw(misses, extractor, cfg)
+    return hits.unionByName(new), new
+
+
 def parse_records(raw: DataFrame) -> DataFrame:
     """E2/E3: grammar string -> one row per record with parsed fields array.
 
@@ -178,8 +205,12 @@ def decode_triples(parsed: DataFrame) -> DataFrame:
         F.upper(F.trim(F.get("fields", F.lit(1)))).alias("a"),
         F.upper(F.trim(F.get("fields", F.lit(2)))).alias("b"),
         F.get("fields", F.lit(3)).alias("description"),
+        # weight = LAST field (reference uses record_attributes[-1],
+        # text2graph.py:125-127), trimmed (split_string_by_multi_markers
+        # strips each field, base.py:58-63)
         F.when(
-            F.get("fields", F.lit(4)).rlike(FLOAT_RE), F.get("fields", F.lit(4)).cast("double")
+            F.trim(F.element_at("fields", -1)).rlike(FLOAT_RE),
+            F.trim(F.element_at("fields", -1)).cast("double"),
         ).otherwise(F.lit(1.0)).alias("weight"),
     )
     return (

@@ -50,7 +50,7 @@ FUSION_SCHEMA = (
 )
 
 
-def word_positions(flat_spans: DataFrame) -> DataFrame:
+def word_positions(flat_spans: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     """(doc_id, wpos, tok): global word offsets from the text spans.
 
     Text spans partition the doc's words losslessly (synth contract), so
@@ -71,7 +71,7 @@ def word_positions(flat_spans: DataFrame) -> DataFrame:
         F.posexplode(F.split("text", " ")).alias("j", "tok"),
     ).select(
         "doc_id",
-        (F.col("span_idx") * F.lit(DEFAULT.span_words) + F.col("j")).alias("wpos"),
+        (F.col("span_idx") * F.lit(cfg.span_words) + F.col("j")).alias("wpos"),
         "tok",
     )
 
@@ -97,7 +97,7 @@ def nearby_text_entities(
 ) -> DataFrame:
     """J2 analogue: distinct text entity surface forms within ±fusion_window
     words of each media anchor."""
-    words = word_positions(flat_spans)
+    words = word_positions(flat_spans, cfg)
     anchors = media_anchors(media, cfg)
     K = cfg.fusion_window
     return (

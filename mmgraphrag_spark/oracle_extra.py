@@ -63,13 +63,15 @@ WHERE len(list_intersect(sa.sh, sb.sh)) * 1000000
 
 
 def _simhash_cte() -> str:
-    return """
+    from .operators.dedup import SIMHASH_BITS
+
+    return f"""
 st AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv FROM st),
+hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, {SIMHASH_BITS // 4}))::BIGINT AS hv FROM st),
 votes AS (
   SELECT doc_id, CAST(r.j AS INT) AS j,
          sum(CASE WHEN (hv >> CAST(r.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM hv, UNNEST(range(16)) AS r(j) GROUP BY doc_id, r.j
+  FROM hv, UNNEST(range({SIMHASH_BITS})) AS r(j) GROUP BY doc_id, r.j
 ),
 sim AS (
   SELECT doc_id,
@@ -83,14 +85,17 @@ def dup_simhash_sql() -> str:
 
 
 def dup_simhash_pairs_sql(max_hamming: int = 2) -> str:
+    from .operators.dedup import SIMHASH_BLOCKS, _BLOCK_BITS, _BLOCK_MASK
+
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS h,"
+        f" (simhash >> {i * _BLOCK_BITS}) & {_BLOCK_MASK} AS hk FROM sim"
+        for i in range(SIMHASH_BLOCKS)
+    )
     return f"""
 WITH {_simhash_cte()},
 halves AS (
-  SELECT doc_id, simhash, h, hk FROM (
-    SELECT doc_id, simhash, 0 AS h, simhash % 256 AS hk FROM sim
-    UNION ALL
-    SELECT doc_id, simhash, 1 AS h, simhash >> 8 AS hk FROM sim
-  ) u
+  SELECT doc_id, simhash, h, hk FROM ({blocks}) u
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
@@ -113,9 +118,14 @@ qn AS (
   SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n FROM qe
 )"""
 
-def _dot_expr(qa: str, qb: str, dims: int = 64) -> str:
-    """Unrolled integer dot product — engine-portable, order-irrelevant."""
-    return "(" + " + ".join(f"{qa}[{i}] * {qb}[{i}]" for i in range(1, dims + 1)) + ")"
+def _dot_expr(qa: str, qb: str) -> str:
+    """Integer dot product, dimension-dynamic (len(q) like the Spark side's
+    size(q) — no hard-coded embedding width). list_sum over BIGINT products is
+    exact and order-irrelevant."""
+    return (
+        f"CAST(coalesce(list_sum([{qa}[i + 1] * {qb}[i + 1]"
+        f" for i in range(len({qa}))]), 0) AS BIGINT)"
+    )
 
 
 def dup_embedding_sql(cos_threshold: float = 0.4) -> str:
@@ -160,7 +170,7 @@ def _bucket_expr(q: str, table: int, planes: int = 3) -> str:
     for p in range(planes):
         comp = (
             f"list_sum([CASE WHEN ('0x' || substr(md5('{table}:{p}|' || CAST(d AS VARCHAR)), 1, 1))::BIGINT % 2 = 0"
-            f" THEN {q}[d + 1] ELSE -{q}[d + 1] END for d in range(64)])"
+            f" THEN {q}[d + 1] ELSE -{q}[d + 1] END for d in range(len({q}))])"
         )
         bits.append(f"(CASE WHEN {comp} >= 0 THEN {1 << p} ELSE 0 END)")
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"

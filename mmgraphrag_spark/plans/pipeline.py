@@ -73,23 +73,24 @@ class Pipeline:
     def _write(self, df: DataFrame, table: str) -> int:
         """Write checkpoint + per-partition metrics; return row count.
 
-        One scan job computes the per-partition row metrics; the (tiny,
-        #partitions-sized) result is appended driver-side and also summed for
-        the lineage row — no second count job.
+        Per-partition rows come from the parquet FOOTERS of the files the
+        write just produced (one file per writer task) — a driver-side
+        metadata read, not a second data scan (the earlier rescan doubled
+        stage IO; at 100 TB that is the difference between 1× and 2× the
+        job's read volume).
         """
         df.write.mode("overwrite").parquet(self._path(table))
-        per_part = (
-            self.read(table, spread=False)
-            .withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("rows"))
-        ).toPandas()
-        per_part["stage"] = table
-        per_part["run_id"] = self.run_id
+        import pyarrow.parquet as pq
+
+        files = sorted(Path(self._path(table)).glob("*.parquet"))
+        per_part = [
+            (i, pq.ParquetFile(str(f)).metadata.num_rows, table, self.run_id)
+            for i, f in enumerate(files)
+        ] or [(0, 0, table, self.run_id)]
         self.spark.createDataFrame(
             per_part, "partition_id int, rows long, stage string, run_id string"
-        ).write.mode("append").parquet(self._path("_metrics"))
-        return int(per_part["rows"].sum())
+        ).coalesce(1).write.mode("append").parquet(self._path("_metrics"))
+        return sum(n for _, n, _, _ in per_part)
 
     def _log_lineage(self, stage: str, outputs: dict[str, int],
                      inputs: list[str], wall_ms: int) -> None:
@@ -119,7 +120,10 @@ class Pipeline:
             return False
         t0 = time.perf_counter()
         produced = fn()  # dict[table -> DataFrame]
+        cleanup = produced.pop("__cleanup__", None)
         counts = {t: self._write(df, t) for t, df in produced.items()}
+        if cleanup is not None:
+            cleanup()
         self._log_lineage(name, counts, inputs, int((time.perf_counter() - t0) * 1000))
         return True
 
@@ -149,17 +153,18 @@ class Pipeline:
             resume,
         )
 
-        # mentions and triples decode straight from the raw grammar strings:
-        # two regex passes cost less than materializing the exploded fields
-        # table (a 3.9M-row array<string> parquet at the 50k-doc fixture —
-        # written once, read twice, metrics-scanned once; on hosts where file
-        # IO is the scarce resource the extra regex pass is the cheaper side
-        # of the trade, and the raw table is ~40× smaller)
+        # mentions and triples decode from ONE parse: the exploded-fields
+        # relation is persisted in executor memory for the stage's two writes
+        # (materializing it to parquet was measured worse — a 3.9M-row
+        # array<string> table at the 50k fixture; re-parsing twice was the
+        # round-1 shape and wasted a full regex pass over every record)
         def _decode():
             raw = self.read("extraction_raw")
+            parsed = extractor.parse_records(raw).persist()
             return {
-                "mentions": extractor.decode_mentions(extractor.parse_records(raw)),
-                "triples": extractor.decode_triples(extractor.parse_records(raw)),
+                "mentions": extractor.decode_mentions(parsed),
+                "triples": extractor.decode_triples(parsed),
+                "__cleanup__": lambda: parsed.unpersist(),
             }
 
         ran["decode"] = self._stage(

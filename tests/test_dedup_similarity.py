@@ -41,6 +41,28 @@ def test_simhash_identical_and_disjoint(spark):
     assert got.get((1, 2)) == 0
 
 
+def test_simhash_blocking_is_lossless_vs_bruteforce(spark):
+    """Pigeonhole completeness: the 4-block banding must return EXACTLY the
+    pairs a brute-force all-pairs hamming scan finds (the old 2-half scheme
+    lost ~40% of hamming<=2 pairs whose differing bits straddled the halves)."""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(30) if (j + i) % 7 or j % (i + 2)))
+        for i in range(40)
+    ]
+    d = _docs(spark, rows)
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(d).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    got = {(r.a, r.b): r.hamming for r in dedup.simhash_near_duplicates(d, 2).collect()}
+    assert got == brute
+    assert brute, "fixture produced no close pairs — weaken the variation"
+
+
 def test_ann_lsh_subset_of_bruteforce_with_high_recall(spark):
     bf = similarity.ann_bruteforce_topk(spark, SF_TINY, k=5, n_queries=10).toPandas()
     lsh = similarity.ann_lsh_topk(spark, SF_TINY, k=5, n_queries=10).toPandas()

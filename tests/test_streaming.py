@@ -76,3 +76,33 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     n_after = spark.read.parquet(f"{out}/mentions").count()
     assert n_after == n_before
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_resent_docs_cost_zero_extractor_work(spark, tmp_path):
+    """J10 cache join: a document re-sent in a LATER batch (fresh checkpoint,
+    so Spark does reprocess the file) must never reach the extractor — the
+    poison extractor below fails the query if it sees a single row — and must
+    not duplicate sink rows."""
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(20)
+    docs.write.parquet(src1)
+    docs.write.parquet(src2)  # same content, re-sent later
+
+    q = incremental.stream_extract(spark, src1, out, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{out}/mentions").count()
+    cache1 = spark.read.parquet(f"{out}/raw_cache").count()
+    assert n1 > 0 and cache1 > 0
+
+    def poison(pdf):
+        raise AssertionError(f"extractor invoked on {len(pdf)} re-sent rows")
+
+    q2 = incremental.stream_extract(
+        spark, src2, out, str(tmp_path / "ck2"), extract_fn=poison
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/mentions").count() == n1
+    assert spark.read.parquet(f"{out}/raw_cache").count() == cache1
+    shutil.rmtree(out, ignore_errors=True)
