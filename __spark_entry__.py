@@ -16,8 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from dataclasses import replace  # noqa: E402
+
 from mmgraphrag_spark import api, oracle, oracle_extra  # noqa: E402
+from mmgraphrag_spark.config import DEFAULT  # noqa: E402
 from mmgraphrag_spark.operators import dedup, similarity, textstats  # noqa: E402
+
+# E1 gleaning on: the bounded re-ask loop recovers missed mentions
+GLEANED_CFG = replace(DEFAULT, gleaning_rounds=1)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_spans": api.spans,
         "kg_chunks": api.chunks,
         "kg_mentions": api.mentions,
+        "kg_mentions_gleaned": lambda s, d: api.mentions(s, d, GLEANED_CFG),
         "kg_triples": api.triples,
         "kg_img_mentions": lambda s, d: api.img_mentions(s, d).select(
             "doc_id", "entity_name", "entity_type", "description", "source_id"
@@ -40,7 +47,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": api.nodes,
         "kg_edges": api.edges,
         "kg_merge_map": api.merge_map,
-        "kg_clusters": api.clusters,  # spectral labels: non-SQL, rows-only check
+        "kg_clusters": api.clusters,  # M6 affinity components, value-checked
+        "kg_spectral": api.spectral,  # M3/M4 eigh+DBSCAN: non-SQL, rows-only
+                                      # (NumPy-oracle-verified in pytest)
         "kg_fused_nodes": api.fused_nodes,
         "kg_fused_edges": api.fused_edges,
         "kg_enhanced_nodes": api.enhanced_nodes,
@@ -53,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qctx_onehop": api.qctx_onehop,
         "qctx_chunks": api.qctx_chunks,
         "qctx_top_media": api.qctx_top_media,
+        "entity_vdb_topk": api.entity_vdb_topk,
         # training-data pipeline: dedup / similarity / text analysis
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
         "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
@@ -73,12 +83,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_spans": oracle.q(oracle.spans_select()),
         "kg_chunks": oracle.q(oracle.chunks_select()),
         "kg_mentions": oracle.q(oracle.mentions_select()),
+        "kg_mentions_gleaned": oracle.q(oracle.mentions_gleaned_select()),
         "kg_triples": oracle.q(oracle.triples_select()),
         "kg_img_mentions": oracle.q(oracle.img_mentions_select()),
         "kg_img_triples": oracle.q(oracle.img_triples_select()),
         "kg_nodes": oracle.q(oracle.nodes_select()),
         "kg_edges": oracle.q(oracle.edges_select()),
         "kg_merge_map": oracle.q(oracle.merge_map_select()),
+        "kg_clusters": oracle.q(oracle.clusters_select()),
         "kg_fused_nodes": oracle.q(oracle.fused_nodes_select()),
         "kg_fused_edges": oracle.q(oracle.fused_edges_select()),
         "kg_enhanced_nodes": oracle.q(oracle.enh_nodes_select()),
@@ -91,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "qctx_onehop": oracle.qctx_onehop_sql(),
         "qctx_chunks": oracle.qctx_chunks_sql(),
         "qctx_top_media": oracle.top_media_sql(),
+        "entity_vdb_topk": oracle.entity_vdb_topk_sql(),
         "dup_exact": oracle_extra.dup_exact_sql(),
         "dup_minhash": oracle_extra.dup_minhash_sql(),
         "dup_simhash": oracle_extra.dup_simhash_sql(),

@@ -113,17 +113,22 @@ def all_triples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
 
 
 def nodes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    return canon.build_nodes(all_mentions(spark, sf_dir, cfg))
+    return canon.build_nodes(all_mentions(spark, sf_dir, cfg), cfg=cfg)
 
 
 def edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    return canon.build_edges(all_triples(spark, sf_dir, cfg))
+    return canon.build_edges(all_triples(spark, sf_dir, cfg), cfg=cfg)
 
 
 def fusion_blocks(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    sp = spans(spark, sf_dir, cfg)
-    med = media.media_spans(sp)
-    return fusion.fusion_blocks(sp, med, media.image_mentions(med, cfg), cfg)
+    def build():
+        sp = spans(spark, sf_dir, cfg)
+        med = media.media_spans(sp)
+        return fusion.fusion_blocks(sp, med, media.image_mentions(med, cfg), cfg)
+
+    # memoized: merge_map / clusters / spectral / fused_graph all consume the
+    # same per-block spectral computation — run the applyInPandas stage once
+    return _memo("fusion_blocks", spark, sf_dir, cfg, build)
 
 
 def merge_map(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
@@ -132,6 +137,10 @@ def merge_map(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -
 
 def clusters(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     return fusion.cluster_assignments(fusion_blocks(spark, sf_dir, cfg))
+
+
+def spectral(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return fusion.spectral_assignments(fusion_blocks(spark, sf_dir, cfg))
 
 
 _fused_cache: dict = {}
@@ -146,7 +155,8 @@ def fused_graph(
     if key not in _fused_cache:
         mm = merge_map(spark, sf_dir, cfg)
         _fused_cache[key] = fusion.fuse_graph(
-            all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm
+            all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm,
+            cfg=cfg,
         )
     return _fused_cache[key]
 
@@ -171,7 +181,8 @@ def enhanced_graph(
         mm = fusion.merge_map_from_blocks(blocks).persist()
         em = fusion.enhance_map(sp, med, img, mm, cfg).persist()
         _fused_cache[key] = fusion.enhanced_graph(
-            all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm, em
+            all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm, em,
+            cfg=cfg,
         )
     return _fused_cache[key]
 
@@ -182,6 +193,14 @@ def enhanced_nodes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAU
 
 def enhanced_edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     return enhanced_graph(spark, sf_dir, cfg)[1]
+
+
+def entity_vdb_topk(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    from .operators import entity_vdb
+
+    return entity_vdb.entity_vdb_topk(
+        nodes(spark, sf_dir, cfg), cfg.qctx_query, k=cfg.qctx_k, cfg=cfg
+    )
 
 
 def mm_decode(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:

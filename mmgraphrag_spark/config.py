@@ -36,16 +36,31 @@ class PipelineConfig:
     # len(token) >= mention_min_len; type CONCEPT if len >= concept_min_len.
     mention_min_len: int = 5
     concept_min_len: int = 6
+    # E1 gleaning (reference text2graph.py:344-361: bounded re-ask loop that
+    # recovers missed entities; responses append to the same record stream).
+    # The mock glean pass recovers tokens of length mention_min_len-1.
+    gleaning_rounds: int = 0
 
     # canonicalization
     salt_buckets: int = 8         # salted pre-aggregation fan-out for hub keys
+    # A1/A2 summarization branch (reference text2graph.py:70-112: descriptions
+    # reaching entity_summary_to_max_tokens=500 get LLM-summarized). Same
+    # default; the deterministic mock keeps the first summary_keep_tokens.
+    summary_max_tokens: int = 500
+    summary_keep_tokens: int = 16
 
     # fusion
     fusion_eps: float = 0.5       # DBSCAN eps, reference fusion.py:245-251
     fusion_knn: int = 3           # kNN label transfer fan-in, fusion.py:256-267
     fusion_window: int = 64       # nearby-context radius in words (J2 analogue)
     embed_dims: int = 32          # deterministic hash-embedding dimension
-    merge_cos: float = 0.999      # M7 merge threshold on surface-form cosine
+    # trigram embedding family (M1 stand-in for the sentence encoder): signed
+    # feature-hashed char-3-gram counts. Near-but-unequal surfaces get high
+    # cosine (SPARK~SPARKS ≈ 0.87), so the merge judge and clustering are NOT
+    # reducible to string equality (the round-1 hash-embedding degeneracy).
+    trigram_dims: int = 32
+    merge_cos: float = 0.8        # M7 merge threshold on surface-form cosine
+    cluster_cos: float = 0.8      # M6 affinity threshold for cluster components
 
     # query-context assembly (T1-T4, J7-J9)
     qctx_query: str = "spark window stream table"

@@ -23,11 +23,68 @@ commutative+associative (sum/min/set-union/count-sum) so the rewrite is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..config import GRAPH_FIELD_SEP
+from ..config import GRAPH_FIELD_SEP, PipelineConfig
 
 _SEP = GRAPH_FIELD_SEP
+
+
+def summarize_description(col: Column, cfg: PipelineConfig) -> Column:
+    """A1/A2 summarization branch (reference text2graph.py:70-112): a merged
+    description whose whitespace-token count reaches ``summary_max_tokens``
+    is replaced by a summary — there an LLM call, here the deterministic
+    mock ``first summary_keep_tokens tokens + ' <SUMMARY n tokens>'`` (the
+    DuckDB oracle computes the identical expression). Bounds hub-node
+    descriptions, which otherwise grow linearly with corpus size (round-1
+    measured ~270 KB single strings at the 50k-doc fixture).
+
+    Pure conditional column — stays in whole-stage codegen; the LLM-backed
+    variant is :func:`summarize_descriptions_udf`.
+    """
+    toks = F.split(col, " ")
+    return F.when(
+        F.size(toks) >= cfg.summary_max_tokens,
+        F.concat(
+            F.array_join(F.slice(toks, 1, cfg.summary_keep_tokens), " "),
+            F.lit(" <SUMMARY "), F.size(toks).cast("string"), F.lit(" tokens>"),
+        ),
+    ).otherwise(col)
+
+
+def summarize_descriptions_udf(
+    df: DataFrame, summarize_fn=None, cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Production shape of the A1 summarizer: ONLY rows over the token
+    threshold leave the JVM (filter -> Arrow-batched UDF -> union back), so
+    the expensive model call touches the hub tail, not the corpus. Default
+    ``summarize_fn`` is the deterministic mock (proven equal to
+    :func:`summarize_description` in tests)."""
+    from ..config import DEFAULT
+
+    cfg = cfg or DEFAULT
+    mx, keep = cfg.summary_max_tokens, cfg.summary_keep_tokens
+
+    def mock(pdf):
+        toks = pdf["description"].str.split(" ")
+        n = toks.str.len()
+        pdf = pdf.copy()
+        pdf["description"] = (
+            toks.str[:keep].str.join(" ") + " <SUMMARY " + n.astype(str) + " tokens>"
+        )
+        return pdf
+
+    fn = summarize_fn or mock
+    toks = F.split("description", " ")
+    hot = df.filter(F.size(toks) >= mx)
+    cold = df.filter(F.size(toks) < mx)
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            yield fn(pdf)
+
+    return cold.unionByName(hot.mapInPandas(run, schema=schema))
 
 
 def _mode_type(pairs: DataFrame, keys: list[str]) -> DataFrame:
@@ -46,12 +103,14 @@ def build_nodes(
     salted: bool = False,
     buckets: int = 8,
     group_cols: list[str] | None = None,
+    cfg: PipelineConfig | None = None,
 ) -> DataFrame:
     """A1: mentions -> nodes(entity_name, entity_type, description, source_id).
 
     ``group_cols`` prepends extra grouping keys (e.g. a per-image graph id, the
     reference's one-graph-per-image model, img2graph.py:140-206): the merge
     then happens independently per group in the same single shuffle.
+    ``cfg`` enables the A1 summarization branch (see summarize_description).
     """
     g = list(group_cols or [])
     keys = g + ["entity_name"]
@@ -83,6 +142,10 @@ def build_nodes(
             ),
         )
     top = _mode_type(mentions.select(*keys, "entity_type"), keys)
+    if cfg is not None:
+        agg = agg.withColumn(
+            "description", summarize_description(F.col("description"), cfg)
+        )
     # both sides are already hash-partitioned by the group keys → co-located join
     return agg.join(top, keys).select(
         *g, "entity_name", "entity_type", "description", "source_id"
@@ -94,11 +157,13 @@ def build_edges(
     salted: bool = False,
     buckets: int = 8,
     group_cols: list[str] | None = None,
+    cfg: PipelineConfig | None = None,
 ) -> DataFrame:
     """A2: triples -> edges(src, dst, weight, description, source_id, order).
 
     Expects canonical (subj, obj) = (least, greatest) from the decoder.
-    ``group_cols`` scopes the merge per group (per-image graphs).
+    ``group_cols`` scopes the merge per group (per-image graphs); ``cfg``
+    enables the A2 summarization branch (text2graph.py:258-262).
     """
     g = list(group_cols or [])
     t = triples.select(
@@ -118,7 +183,7 @@ def build_edges(
                 F.collect_set("source_id").alias("ss"),
             )
         )
-        return partial.groupBy(*keys).agg(
+        out = partial.groupBy(*keys).agg(
             F.sum("w").alias("weight"),
             F.array_join(
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list("ds")))), _SEP
@@ -128,14 +193,22 @@ def build_edges(
             ).alias("source_id"),
             F.min("o").alias("order"),
         )
-    return t.groupBy(*keys).agg(
-        F.sum("weight").alias("weight"),
-        F.array_join(F.array_sort(F.collect_set("description")), _SEP).alias(
-            "description"
-        ),
-        F.array_join(F.array_sort(F.collect_set("source_id")), _SEP).alias("source_id"),
-        F.min("order").alias("order"),
-    )
+    else:
+        out = t.groupBy(*keys).agg(
+            F.sum("weight").alias("weight"),
+            F.array_join(F.array_sort(F.collect_set("description")), _SEP).alias(
+                "description"
+            ),
+            F.array_join(F.array_sort(F.collect_set("source_id")), _SEP).alias(
+                "source_id"
+            ),
+            F.min("order").alias("order"),
+        )
+    if cfg is not None:
+        out = out.withColumn(
+            "description", summarize_description(F.col("description"), cfg)
+        )
+    return out
 
 
 def add_stub_nodes(

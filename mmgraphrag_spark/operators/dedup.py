@@ -221,35 +221,127 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
 
 # ---- embedding near-dup -----------------------------------------------------
 
+_dims_cache: dict = {}
+
+
+def embedding_dims(spark, sf_dir: str) -> int:
+    """Embedding width, probed once per table from one row (footer-cheap)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _dims_cache:
+        row = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.size("embedding").alias("d")).first()
+        )
+        _dims_cache[key] = int(row["d"])
+    return _dims_cache[key]
+
+
 def quantized_embeddings(spark, sf_dir: str, scale: int = 1000) -> DataFrame:
     """(vec_id, q array<long>, n long): integer-quantized embedding + its
-    integer squared norm. Integer math is bit-exact across engines."""
+    integer squared norm. Integer math is bit-exact across engines.
+
+    Flat per-component projections (dims probed once) instead of
+    ``transform``/``aggregate`` lambdas: higher-order functions evaluate
+    interpreted and fall out of whole-stage codegen — measured ~30× slower
+    than flat expressions on the embedding hot path (PLANS.md §5)."""
+    dims = embedding_dims(spark, sf_dir)
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = F.expr(f"transform(embedding, x -> cast(round(cast(x as double) * {scale}) as long))")
-    return e.select(F.col("vec_id").cast("long").alias("vec_id"), q.alias("q")).withColumn(
-        "n", F.expr("aggregate(q, cast(0 as long), (acc, x) -> acc + x * x)")
+    comps = [
+        F.round(F.get("embedding", i).cast("double") * scale).cast("long").alias(f"_q{i}")
+        for i in range(dims)
+    ]
+    flat = e.select(F.col("vec_id").cast("long").alias("vec_id"), *comps)
+    n = None
+    for i in range(dims):
+        term = F.col(f"_q{i}") * F.col(f"_q{i}")
+        n = term if n is None else n + term
+    return flat.select(
+        "vec_id",
+        F.array(*[F.col(f"_q{i}") for i in range(dims)]).alias("q"),
+        n.alias("n"),
     )
 
 
+def _flat_dot(qa: str, qb: str, dims: int):
+    """Exact integer dot product as a flat codegen expression (no HOF)."""
+    dot = None
+    for i in range(dims):
+        term = F.get(qa, i) * F.get(qb, i)
+        dot = term if dot is None else dot + term
+    return dot
+
+
 def embedding_near_duplicates(
+    spark, sf_dir: str, cos_threshold: float = 0.4,
+    tables: int = 8, planes: int = 3,
+) -> DataFrame:
+    """(a, b, dot, na, nb): near-duplicate pairs with cosine ≥ τ.
+
+    Scale shape: sign-projection LSH candidate generation (equi self-join on
+    (table, bucket) — similarity.lsh_buckets, never all-pairs) followed by
+    exact integer verification: dot > 0 ∧ 10^4·dot² ≥ ⌈τ²·10^4⌉·na·nb.
+    Recall is the standard LSH amplification bound (a qualifying pair is
+    missed only if it collides in NONE of the 8 tables); the DuckDB oracle
+    replicates candidates + verification bit-for-bit, and the quadratic
+    brute-force twin below stays as the pytest recall yardstick.
+    """
+    from .similarity import lsh_buckets
+
+    t2 = int(round(cos_threshold * cos_threshold * 10_000))
+    dims = embedding_dims(spark, sf_dir)
+    qe = lsh_buckets(quantized_embeddings(spark, sf_dir), tables, planes, dims)
+    x = qe.select(
+        F.col("vec_id").alias("a"), F.col("table").alias("ta"),
+        F.col("bucket").alias("ba"),
+    )
+    y = qe.select(
+        F.col("vec_id").alias("b"), F.col("table").alias("tb_"),
+        F.col("bucket").alias("bb"),
+    )
+    cand = (
+        x.join(
+            y,
+            (F.col("ta") == F.col("tb_")) & (F.col("ba") == F.col("bb"))
+            & (F.col("a") < F.col("b")),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    base = quantized_embeddings(spark, sf_dir)
+    pairs = cand.join(
+        base.select(F.col("vec_id").alias("a"), F.col("q").alias("qa"), F.col("n").alias("na")),
+        "a",
+    ).join(
+        base.select(F.col("vec_id").alias("b"), F.col("q").alias("qb"), F.col("n").alias("nb")),
+        "b",
+    )
+    return (
+        pairs.withColumn("dot", _flat_dot("qa", "qb", dims))
+        .filter(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") * 10_000 >= F.lit(t2) * F.col("na") * F.col("nb"))
+        )
+        .select("a", "b", "dot", "na", "nb")
+    )
+
+
+def embedding_near_duplicates_bruteforce(
     spark, sf_dir: str, cos_threshold: float = 0.4
 ) -> DataFrame:
-    """(a, b, dot, na, nb): pairs with cosine ≥ τ, decided in exact integer
-    arithmetic: dot > 0 ∧ 10^4·dot² ≥ ⌈τ²·10^4⌉·na·nb."""
-    qe = quantized_embeddings(spark, sf_dir)
+    """Quadratic all-pairs twin — TEST-ONLY recall yardstick (O(n²) BNLJ;
+    never a driver query)."""
+    dims = embedding_dims(spark, sf_dir)
     t2 = int(round(cos_threshold * cos_threshold * 10_000))
+    qe = quantized_embeddings(spark, sf_dir)
     x = qe.select(
         F.col("vec_id").alias("a"), F.col("q").alias("qa"), F.col("n").alias("na")
     )
     y = qe.select(
         F.col("vec_id").alias("b"), F.col("q").alias("qb"), F.col("n").alias("nb")
     )
-    pairs = x.join(y, F.col("a") < F.col("b"))
-    dot = F.expr(
-        "aggregate(zip_with(qa, qb, (p, r) -> p * r), cast(0 as long), (acc, x) -> acc + x)"
-    )
     return (
-        pairs.withColumn("dot", dot)
+        x.join(y, F.col("a") < F.col("b"))
+        .withColumn("dot", _flat_dot("qa", "qb", dims))
         .filter(
             (F.col("dot") > 0)
             & (F.col("dot") * F.col("dot") * 10_000 >= F.lit(t2) * F.col("na") * F.col("nb"))

@@ -102,23 +102,69 @@ def mock_extract_batch(pdf, cfg: PipelineConfig = DEFAULT):
     return out[["doc_id", "chunk_id", "output"]]
 
 
+def mock_glean_batch(pdf, round_idx: int, cfg: PipelineConfig = DEFAULT):
+    """Deterministic gleaning pass: recover 'missed' mentions — tokens of
+    length exactly mention_min_len-1 — as extra entity records tagged
+    '(gleaned)'. Stands in for the reference's continue-prompt re-ask
+    (text2graph.py:344-361); emits the same record grammar so parsing is
+    round-agnostic."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) == 0 or round_idx > 0:  # mock converges after one round
+        return pd.DataFrame({"doc_id": [], "chunk_id": [], "output": []})
+    t = pdf[["doc_id", "chunk_id"]].copy()
+    t["tok"] = pdf["content"].str.split(" ")
+    t = t.explode("tok", ignore_index=True)
+    t["pos"] = t.groupby("chunk_id").cumcount()
+    t = t[t["tok"].str.len() == cfg.mention_min_len - 1].copy()
+    if len(t) == 0:
+        return pd.DataFrame({"doc_id": [], "chunk_id": [], "output": []})
+    t["etype"] = np.where(t["pos"] % 2 == 0, "TERM", "LABEL")
+    rec = (
+        '("entity"<|>"' + t["tok"].str.upper() + '"<|>"' + t["etype"] + '"<|>"'
+        + t["tok"] + " in " + t["chunk_id"] + ' (gleaned)")'
+    )
+    out = rec.groupby([t["doc_id"], t["chunk_id"]]).agg("##".join).reset_index(name="output")
+    return out[["doc_id", "chunk_id", "output"]]
+
+
 def extract_raw(
     chunks: DataFrame,
     extractor: Callable | None = None,
     cfg: PipelineConfig = DEFAULT,
+    glean: Callable | None = None,
 ) -> DataFrame:
     """E1: chunks -> (doc_id, chunk_id, output grammar string).
 
     ``extractor(pdf) -> pdf`` is the pluggable batch extractor (production:
     LLM client with cache-table left-join J10; default: deterministic mock).
+    When ``cfg.gleaning_rounds > 0``, the bounded gleaning loop
+    (text2graph.py:344-361) runs INSIDE the same Arrow batch: each round's
+    ``glean(pdf, round)`` records append to the chunk's record stream with
+    the '##' record delimiter — one UDF stage regardless of round count.
     """
     import pandas as pd
 
     fn = extractor or (lambda pdf: mock_extract_batch(pdf, cfg))
+    gfn = glean or (lambda pdf, r: mock_glean_batch(pdf, r, cfg))
+    rounds = cfg.gleaning_rounds
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield fn(pdf)
+            out = fn(pdf)
+            for r in range(rounds):
+                extra = gfn(pdf, r)
+                if len(extra) == 0:
+                    break
+                out = out.merge(
+                    extra.rename(columns={"output": "extra"}),
+                    on=["doc_id", "chunk_id"], how="left",
+                )
+                has = out["extra"].notna()
+                out.loc[has, "output"] = out.loc[has, "output"] + "##" + out.loc[has, "extra"]
+                out = out.drop(columns=["extra"])
+            yield out[["doc_id", "chunk_id", "output"]]
 
     return chunks.select("doc_id", "chunk_id", "content").mapInPandas(
         run, schema=EXTRACTION_SCHEMA
@@ -180,13 +226,15 @@ def decode_mentions(parsed: DataFrame) -> DataFrame:
     """E4: entity records -> mentions(doc_id, chunk_id, entity_name, entity_type,
     description, source_id). Distinct (the reference's per-name dict collapses
     duplicate records within a chunk)."""
+    from ..functions.cleaning import clean_str_col
+
     return (
         parsed.filter((F.size("fields") >= 4) & (F.get("fields", F.lit(0)) == "entity"))
         .select(
             "doc_id", "chunk_id",
-            F.upper(F.trim(F.get("fields", F.lit(1)))).alias("entity_name"),
-            F.upper(F.trim(F.get("fields", F.lit(2)))).alias("entity_type"),
-            F.get("fields", F.lit(3)).alias("description"),
+            clean_str_col(F.upper(F.get("fields", F.lit(1)))).alias("entity_name"),
+            clean_str_col(F.upper(F.get("fields", F.lit(2)))).alias("entity_type"),
+            clean_str_col(F.get("fields", F.lit(3))).alias("description"),
             F.col("chunk_id").alias("source_id"),
         )
         .filter(F.length("entity_name") > 0)  # P3, text2graph.py:58-59
@@ -198,13 +246,15 @@ def decode_triples(parsed: DataFrame) -> DataFrame:
     """E5: relationship records -> triples with canonical undirected key
     (least/greatest, reference edge-key sort text2graph.py:436-437) and
     float-regex weight fallback (P5)."""
+    from ..functions.cleaning import clean_str_col
+
     rels = parsed.filter(
         (F.size("fields") >= 5) & (F.get("fields", F.lit(0)) == "relationship")
     ).select(
         "doc_id", "chunk_id",
-        F.upper(F.trim(F.get("fields", F.lit(1)))).alias("a"),
-        F.upper(F.trim(F.get("fields", F.lit(2)))).alias("b"),
-        F.get("fields", F.lit(3)).alias("description"),
+        clean_str_col(F.upper(F.get("fields", F.lit(1)))).alias("a"),
+        clean_str_col(F.upper(F.get("fields", F.lit(2)))).alias("b"),
+        clean_str_col(F.get("fields", F.lit(3))).alias("description"),
         # weight = LAST field (reference uses record_attributes[-1],
         # text2graph.py:125-127), trimmed (split_string_by_multi_markers
         # strips each field, base.py:58-63)

@@ -13,15 +13,20 @@ Spark-first re-architecture:
 * the neighborhood is a **word-window** around each media span's anchor (the
   reference's ±1-chunk window, expressed in word offsets so it is independent
   of chunk dedup) — built with one range-condition join;
-* embeddings are JVM-side deterministic hash embeddings (operators/embedding);
-* each media block (media_ref) is one ``applyInPandas`` group: numpy affinity,
-  ``eigh`` on the symmetrized Laplacian (§4.2 determinism: the reference's
-  ``eig``+abs on a non-symmetric matrix is numerically unstable across
-  BLAS builds), a small self-contained DBSCAN, top-1 cosine label transfer;
-* the judge (M7) is the deterministic rule *merge iff nearest text entity has
-  surface-form cosine ≥ merge_cos and shares the DBSCAN label* — with hash
-  embeddings this fires exactly on surface-form equality, the property the
-  DuckDB oracle replicates;
+* embeddings are signed feature-hashed char-trigram count vectors
+  (``trigram_vector``) — the deterministic stand-in for the sentence encoder
+  that preserves the property the reference's fusion math depends on: NEAR
+  surfaces get high cosine without being equal (SPARK~SPARKS ≈ 0.87), so the
+  clustering/judge never degenerate to string equality; scoring runs in exact
+  int64 fixed-point, bit-reproducible in the DuckDB oracle;
+* each media block (media_ref) is one ``applyInPandas`` group emitting three
+  row kinds: M6 cluster groups as *connected components of the thresholded
+  affinity* (exact integers — the value-checked clustering), the M3/M4
+  spectral-DBSCAN twin (``eigh`` on the symmetrized Laplacian — §4.2
+  determinism — verified against an independent NumPy oracle in pytest), and
+  M5/M7 merges: kNN majority-label transfer (k = fusion_knn over the exact
+  cosine order) then *merge iff the nearest in-cluster text entity clears
+  merge_cos* (reference fusion.py:256-267,387-464);
 * J6 rewiring = broadcast merge-map join + re-canonicalization (A1/A2) —
   the salted/AQE path of canonicalize.py handles hub skew.
 
@@ -38,16 +43,58 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT, PipelineConfig
 from . import canonicalize as canon
-from .embedding import with_embedding
 
 MERGE_SCHEMA = "doc_id string, media_ref string, old_name string, new_name string"
-# one applyInPandas pass emits both products of the block computation:
-#   kind='cluster': (entity_name, label) — M3/M4 spectral clustering + M6 groups
-#   kind='merge'  : (entity_name=old, new_name) — M5 transfer + M7 judge
+# one applyInPandas pass emits all products of the block computation:
+#   kind='cluster' : (entity_name, label, new_name=cluster_rep) — M6 groups as
+#                    connected components of the thresholded trigram-cosine
+#                    affinity, in EXACT integer arithmetic (value-checked by
+#                    the DuckDB recursive-CTE oracle)
+#   kind='spectral': (entity_name, label) — M3/M4 spectral embedding + DBSCAN
+#                    (real eigendecomposition; verified against an independent
+#                    NumPy oracle in pytest, not SQL-expressible)
+#   kind='merge'   : (entity_name=old, new_name) — M5 kNN majority-label
+#                    transfer + M7 threshold judge, exact integers
 FUSION_SCHEMA = (
     "doc_id string, media_ref string, kind string, entity_name string,"
     " label long, new_name string"
 )
+
+# fixed-point scales for exact cross-engine comparisons (DuckDB twin uses the
+# same constants): cos >= t  <=>  dot > 0  AND  dot^2 * SCALE >= t2 * na2 * nb2
+TRIGRAM_SCALE = 10**8
+RANK_SCALE = 10**12
+
+
+def trigram_vector(s: str, dims: int):
+    """Signed feature-hashed char-3-gram count vector (int64).
+
+    Exact twin of the DuckDB SQL in oracle.py (md5-based bucket and sign, the
+    only hash primitive both engines share): gram list = substr(s, i, 3) for
+    i in range(max(len-2, 1)); bucket = md5[:4] hex % dims; sign from md5[4].
+    Production swap point: replace with the sentence-encoder batch UDF — the
+    reference embeds with a SentenceTransformer (parameter.py:14-20).
+    """
+    import hashlib
+
+    import numpy as np
+
+    v = np.zeros(dims, dtype=np.int64)
+    for i in range(max(len(s) - 2, 1)):
+        h = hashlib.md5(s[i:i + 3].encode("utf-8")).hexdigest()
+        v[int(h[:4], 16) % dims] += 1 if int(h[4], 16) % 2 == 0 else -1
+    return v
+
+
+def _int_cos_ge(dot: int, na2: int, nb2: int, t2: int) -> bool:
+    """cos(a,b) >= t in exact integers (t2 = round(t^2 * TRIGRAM_SCALE))."""
+    return dot > 0 and dot * dot * TRIGRAM_SCALE >= t2 * na2 * nb2
+
+
+def _rank_key(dot: int, na2: int, nb2: int) -> int:
+    """Monotone-in-cosine integer sort key (sign-aware, exact)."""
+    sign = 1 if dot >= 0 else -1
+    return sign * ((dot * dot * RANK_SCALE) // max(na2 * nb2, 1))
 
 
 def word_positions(flat_spans: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
@@ -142,17 +189,27 @@ def _dbscan(X, eps: float, min_samples: int):
     return labels
 
 
-def _fuse_block(pdf, eps: float, merge_cos: float):
-    """One media block: spectral clustering + kNN transfer + merge rule.
+def _fuse_block(pdf, eps: float, merge_t2: int, cluster_t2: int,
+                dims: int, knn: int):
+    """One media block: exact-integer components + spectral twin + kNN
+    majority transfer + threshold judge.
 
-    Returns FUSION_SCHEMA rows: one 'cluster' row per text entity and one
-    'merge' row per accepted image→text merge.
+    Returns FUSION_SCHEMA rows: per text entity one 'cluster' row (component
+    label + canonical representative = min entity_name in the component) and
+    one 'spectral' row (DBSCAN label on the spectral embedding); per accepted
+    image→text merge one 'merge' row.
     """
     import numpy as np
     import pandas as pd
 
-    txt = pdf[pdf["side"] == "text"].reset_index(drop=True)
-    img = pdf[pdf["side"] == "image"].reset_index(drop=True)
+    txt = (
+        pdf[pdf["side"] == "text"]
+        .sort_values("entity_name").reset_index(drop=True)
+    )
+    img = (
+        pdf[pdf["side"] == "image"]
+        .sort_values("entity_name").reset_index(drop=True)
+    )
     empty = pd.DataFrame({
         "doc_id": pd.Series(dtype=object), "media_ref": pd.Series(dtype=object),
         "kind": pd.Series(dtype=object), "entity_name": pd.Series(dtype=object),
@@ -161,54 +218,109 @@ def _fuse_block(pdf, eps: float, merge_cos: float):
     if len(txt) == 0:
         return empty
 
-    E_txt = np.vstack(txt["embedding"].to_numpy())
+    n = len(txt)
+    # one vector per unique surface (cached — blocks repeat surfaces rarely,
+    # but batches of blocks repeat them a lot at corpus scale)
+    cache: dict[str, np.ndarray] = {}
 
-    # M2 affinity over text entities (image entities are transferred onto the
-    # text clustering, reference fusion.py:256-267)
-    A = E_txt @ E_txt.T
+    def vec(s: str) -> np.ndarray:
+        if s not in cache:
+            cache[s] = trigram_vector(s, dims)
+        return cache[s]
+
+    V_t = np.vstack([vec(s) for s in txt["surface"]])
+    n2_t = (V_t * V_t).sum(1)
+
+    # ---- M6 clusters = connected components of the thresholded affinity ----
+    # exact integers; txt is name-sorted, so BFS from ascending index gives
+    # component rep = min entity_name (the canonical label the oracle derives)
+    D_tt = V_t @ V_t.T
+    adj = (D_tt > 0) & (
+        D_tt.astype(np.int64) ** 2 * TRIGRAM_SCALE
+        >= cluster_t2 * np.outer(n2_t, n2_t)
+    )
+    np.fill_diagonal(adj, False)
+    comp = np.full(n, -1, dtype=np.int64)
+    reps: list[str] = []
+    for i in range(n):
+        if comp[i] != -1:
+            continue
+        cid = len(reps)
+        reps.append(txt["entity_name"].iat[i])
+        stack = [i]
+        comp[i] = cid
+        while stack:
+            p = stack.pop()
+            for q in np.nonzero(adj[p])[0]:
+                if comp[q] == -1:
+                    comp[q] = cid
+                    stack.append(int(q))
+    clusters = pd.DataFrame({
+        "doc_id": txt["doc_id"], "media_ref": txt["media_ref"],
+        "kind": "cluster", "entity_name": txt["entity_name"],
+        "label": comp,
+        "new_name": [reps[c] for c in comp],
+    })
+
+    # ---- M2/M3/M4 spectral twin (real math, NumPy-oracle-verified) ---------
+    with np.errstate(divide="ignore", invalid="ignore"):
+        U = np.where(n2_t[:, None] > 0, V_t / np.sqrt(n2_t)[:, None], 0.0)
+    A = U @ U.T
     A = np.clip(A, 0.0, None)
     np.fill_diagonal(A, 0.0)
-
-    n = len(txt)
     if n >= 2:
         # M3: unnormalized Laplacian, k = max(2, ceil(sqrt(n))) smallest
-        # eigenvectors of the symmetrized L (fusion.py:228-243)
+        # eigenvectors of the symmetrized L (reference fusion.py:228-243)
         L = np.diag(A.sum(1)) - A
         vals, vecs = np.linalg.eigh((L + L.T) / 2.0)
         k = min(n, max(2, math.ceil(math.sqrt(n))))
         Y = vecs[:, :k]
         # M4: DBSCAN on the spectral embedding (fusion.py:245-251)
-        labels = _dbscan(Y, eps, max(1, math.ceil(n / 10)))
+        slabels = _dbscan(Y, eps, max(1, math.ceil(n / 10)))
     else:
-        labels = np.zeros(n, dtype=np.int64)
-
-    clusters = pd.DataFrame({
+        slabels = np.zeros(n, dtype=np.int64)
+    spectral = pd.DataFrame({
         "doc_id": txt["doc_id"], "media_ref": txt["media_ref"],
-        "kind": "cluster", "entity_name": txt["entity_name"],
-        "label": labels.astype("int64"), "new_name": None,
+        "kind": "spectral", "entity_name": txt["entity_name"],
+        "label": slabels.astype("int64"), "new_name": None,
     })
     if len(img) == 0:
-        return clusters
+        return pd.concat([clusters, spectral], ignore_index=True)
 
-    E_img = np.vstack(img["embedding"].to_numpy())
-
-    # M5: top-1 cosine label transfer (fusion.py:256-267 semantics, with the
-    # documented n-capping bug replaced by well-defined top-1). The image
-    # entity inherits labels[nearest]; under top-1 transfer the reference's
-    # "judge within the shared cluster" step reduces to the cosine threshold
-    # (the transferred label IS the nearest text entity's label), so the
-    # deterministic judge is: merge iff surface-form cosine ≥ τ.
-    S = E_img @ E_txt.T
-    nearest = S.argmax(1)
-    best = S[np.arange(len(img)), nearest]
-    keep = best >= merge_cos
-    merges = pd.DataFrame({
-        "doc_id": img["doc_id"], "media_ref": img["media_ref"],
-        "kind": "merge", "entity_name": img["entity_name"],
-        "label": labels[nearest].astype("int64"),
-        "new_name": txt["entity_name"].to_numpy()[nearest],
-    })[keep]
-    return pd.concat([clusters, merges], ignore_index=True)
+    # ---- M5 kNN majority-label transfer + M7 threshold judge ---------------
+    V_i = np.vstack([vec(s) for s in img["surface"]])
+    n2_i = (V_i * V_i).sum(1)
+    D_it = V_i @ V_t.T
+    out = []
+    tnames = txt["entity_name"].to_numpy()
+    for a in range(len(img)):
+        keys = [
+            (-_rank_key(int(D_it[a, j]), int(n2_i[a]), int(n2_t[j])), tnames[j], j)
+            for j in range(n)
+        ]
+        keys.sort()
+        top = keys[: min(knn, n)]
+        # majority component label over the k nearest; ties go to the
+        # component holding the nearest candidate (kNN-faithful: the closest
+        # neighbor dominates when votes split)
+        votes: dict[int, int] = {}
+        first: dict[int, int] = {}
+        for idx, (_, _, j) in enumerate(top):
+            c = int(comp[j])
+            votes[c] = votes.get(c, 0) + 1
+            first.setdefault(c, idx)
+        maj = min(votes, key=lambda c: (-votes[c], first[c]))
+        # target = nearest text entity within the majority component
+        in_comp = [t for t in keys if comp[t[2]] == maj]
+        _, _, j = in_comp[0]
+        if _int_cos_ge(int(D_it[a, j]), int(n2_i[a]), int(n2_t[j]), merge_t2):
+            out.append((img["doc_id"].iat[a], img["media_ref"].iat[a], "merge",
+                        img["entity_name"].iat[a], int(maj), tnames[j]))
+    merges = pd.DataFrame(
+        out, columns=["doc_id", "media_ref", "kind", "entity_name", "label",
+                      "new_name"],
+    ) if out else empty
+    return pd.concat([clusters, spectral, merges], ignore_index=True)
 
 
 def fusion_blocks(
@@ -233,16 +345,17 @@ def fusion_blocks(
         .withColumn("side", F.lit("text"))
         .withColumn("surface", F.col("entity_name"))
     )
-    both = with_embedding(
-        nearby.unionByName(
-            scene.select("doc_id", "media_ref", "entity_name", "side", "surface")
-        ),
-        "surface", cfg=cfg,
+    both = nearby.unionByName(
+        scene.select("doc_id", "media_ref", "entity_name", "side", "surface")
     )
 
-    eps, tau = cfg.fusion_eps, cfg.merge_cos
+    eps = cfg.fusion_eps
+    merge_t2 = int(round(cfg.merge_cos * cfg.merge_cos * TRIGRAM_SCALE))
+    cluster_t2 = int(round(cfg.cluster_cos * cfg.cluster_cos * TRIGRAM_SCALE))
+    dims, knn = cfg.trigram_dims, cfg.fusion_knn
     return both.repartition("media_ref").groupBy("media_ref").applyInPandas(
-        lambda pdf: _fuse_block(pdf, eps, tau), schema=FUSION_SCHEMA
+        lambda pdf: _fuse_block(pdf, eps, merge_t2, cluster_t2, dims, knn),
+        schema=FUSION_SCHEMA,
     )
 
 
@@ -255,8 +368,19 @@ def merge_map_from_blocks(blocks: DataFrame) -> DataFrame:
 
 
 def cluster_assignments(blocks: DataFrame) -> DataFrame:
-    """(doc_id, media_ref, entity_name, label) spectral clusters (M3/M4/M6)."""
+    """(doc_id, media_ref, entity_name, label, cluster_rep): M6 cluster groups
+    as exact-integer affinity components (value-checked against the DuckDB
+    recursive-CTE oracle; cluster_rep = min entity_name in the component)."""
     return blocks.filter(F.col("kind") == "cluster").select(
+        "doc_id", "media_ref", "entity_name", "label",
+        F.col("new_name").alias("cluster_rep"),
+    )
+
+
+def spectral_assignments(blocks: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, entity_name, label): M3/M4 spectral-DBSCAN labels
+    (the real eigendecomposition path; NumPy-oracle-verified in pytest)."""
+    return blocks.filter(F.col("kind") == "spectral").select(
         "doc_id", "media_ref", "entity_name", "label"
     )
 
@@ -322,6 +446,7 @@ def enhanced_graph(
     all_triples: DataFrame,
     mm: DataFrame,
     em: DataFrame,
+    cfg: PipelineConfig | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """M9 composition: J6 merge rewiring, then rename unmerged image entities
     and append their context to descriptions, then re-canonicalize."""
@@ -354,8 +479,8 @@ def enhanced_graph(
         F.greatest("subj", "obj").alias("obj"),
         "description", "weight", "source_id", "order",
     )
-    nodes = canon.build_nodes(m3)
-    edges = canon.build_edges(t3)
+    nodes = canon.build_nodes(m3, cfg=cfg)
+    edges = canon.build_edges(t3, cfg=cfg)
     return canon.add_stub_nodes(nodes, edges), edges
 
 
@@ -381,6 +506,7 @@ def fuse_graph(
     all_mentions: DataFrame,
     all_triples: DataFrame,
     mm: DataFrame,
+    cfg: PipelineConfig | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """J5/J6 + final A1/A2: the unified graph after fusion.
 
@@ -398,6 +524,6 @@ def fuse_graph(
         F.greatest("subj", "obj").alias("obj"),
         "description", "weight", "source_id", "order",
     )
-    nodes = canon.build_nodes(m2)
-    edges = canon.build_edges(t2)
+    nodes = canon.build_nodes(m2, cfg=cfg)
+    edges = canon.build_edges(t2, cfg=cfg)
     return canon.add_stub_nodes(nodes, edges), edges

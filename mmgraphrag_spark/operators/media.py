@@ -160,8 +160,85 @@ def image_mentions(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame
     return scene.unionByName(objs).unionByName(ori_img_mentions(media))
 
 
+def alignment_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """E9: explicit crop→scene alignment relations
+    (/root/reference/mmgraphrag/img2graph.py:386-417: per object crop, an
+    mm-LLM alignment call emits a relationship record naming the scene entity
+    the crop depicts).
+
+    Deterministic twin: each detected object aligns to the scene entity of
+    its own media block whose surface is most trigram-cosine-similar to the
+    object's label (exact int64 rank key, ties → min scene name; objects whose
+    label hashes to the zero vector emit nothing). Weight 10 like the other
+    image-internal edges. Plan shape: trigram vectors via one keyed groupBy,
+    pair dots via an equi-join on (surface, bucket), argmax via one window —
+    shuffle-bounded, no all-pairs beyond the tiny per-block object×scene set.
+    """
+    from ..functions.trigram import sparse_vectors
+
+    dims = cfg.trigram_dims
+    objs = detect_objects(media, cfg).select(
+        "doc_id", "media_ref",
+        F.concat(F.upper("media_ref"), F.lit("/"), F.upper("label")).alias("obj_name"),
+        F.upper("label").alias("osurf"),
+    ).distinct()
+    scns = scene_mentions(media, cfg).select(
+        "doc_id", F.col("source_id").alias("media_ref"),
+        F.col("entity_name").alias("scn_name"),
+        F.expr("split(entity_name, '@')[0]").alias("ssurf"),
+    ).distinct()
+    surfaces = (
+        objs.select(F.col("osurf").alias("s"))
+        .union(scns.select(F.col("ssurf").alias("s")))
+        .distinct()
+    )
+    vec = sparse_vectors(surfaces, ["s"], "s", dims)
+    norms = vec.groupBy("s").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+
+    pairs = objs.join(scns, ["doc_id", "media_ref"])
+    need = pairs.select("osurf", "ssurf").distinct()
+    dots = (
+        need.join(vec.withColumnRenamed("s", "osurf").withColumnRenamed("v", "va"), "osurf")
+        .join(
+            vec.withColumnRenamed("s", "ssurf").withColumnRenamed("v", "vb"),
+            ["ssurf", "bucket"],
+        )
+        .groupBy("osurf", "ssurf")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    scored = (
+        pairs.join(dots, ["osurf", "ssurf"], "left")
+        .join(norms.withColumnRenamed("s", "osurf").withColumnRenamed("n2", "na2"), "osurf")
+        .join(norms.withColumnRenamed("s", "ssurf").withColumnRenamed("n2", "nb2"), "ssurf")
+        .withColumn("dot", F.coalesce("dot", F.lit(0)))
+        .withColumn(
+            "rank_key",
+            F.expr(
+                "cast(case when dot >= 0 then 1 else -1 end as long)"
+                " * ((dot * dot * 1000000000000L) div greatest(na2 * nb2, 1))"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "media_ref", "obj_name").orderBy(
+        F.desc("rank_key"), F.asc("scn_name")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.select(
+        "doc_id",
+        F.least("obj_name", "scn_name").alias("subj"),
+        F.greatest("obj_name", "scn_name").alias("obj"),
+        F.lit("depicts").alias("description"),
+        F.lit(10.0).alias("weight"),
+        F.col("media_ref").alias("source_id"),
+        F.lit(1).alias("order"),
+    )
+
+
 def image_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    """E10b: weight-10 containment edges (entity -> its ORI_IMG node)."""
+    """E10b: weight-10 containment edges (entity -> its ORI_IMG node), plus
+    E9 crop→scene alignment relations (alignment_triples)."""
     members = (
         scene_mentions(media, cfg)
         .select("doc_id", "media_ref", "entity_name")
@@ -171,7 +248,7 @@ def image_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
             )
         )
     )
-    return members.select(
+    contained = members.select(
         "doc_id",
         F.least("entity_name", F.upper("media_ref")).alias("subj"),
         F.greatest("entity_name", F.upper("media_ref")).alias("obj"),
@@ -180,3 +257,4 @@ def image_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
         F.col("media_ref").alias("source_id"),
         F.lit(1).alias("order"),
     )
+    return contained.unionByName(alignment_triples(media, cfg))

@@ -188,3 +188,72 @@ def one_hop_entities(nodes: DataFrame, edges: DataFrame, query: str, k: int = 5)
     return hop.join(nodes, "entity_name").select(
         "entity_name", "entity_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# context rendering — the reference's actual query deliverable
+# ---------------------------------------------------------------------------
+
+def _enclose(v) -> str:
+    """Reference enclose_string_with_quotes (base.py:216-224): numbers stay
+    bare, strings are stripped of surrounding quotes and re-wrapped."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return str(v)
+    s = str(v).strip().strip("'").strip('"')
+    return f'"{s}"'
+
+
+def list_of_list_to_csv(data: list[list]) -> str:
+    """Reference list_of_list_to_csv (base.py:226-233): ',\\t'-joined cells."""
+    return "\n".join(",\t".join(_enclose(c) for c in row) for row in data)
+
+
+def render_context(
+    seeds: DataFrame, edges: DataFrame, chunks: DataFrame, chunk_table: DataFrame
+) -> str:
+    """T-group context assembly (reference query.py:263-311): three CSV
+    blocks — entities (id, entity, type, description, rank), relationships
+    (id, source, target, description, weight, rank), sources (id, content) —
+    wrapped in the reference's exact section layout.
+
+    Driver-side by design: the inputs are already budget-truncated context
+    sets (tens of rows); this is the serialization boundary, not a bulk
+    operator."""
+    node_rows = [["id", "entity", "type", "description", "rank"]]
+    for i, r in enumerate(seeds.orderBy("rnk").collect()):
+        node_rows.append([i, r.entity_name, r.entity_type, "UNKNOWN", r.degree])
+    rel_rows = [["id", "source", "target", "description", "weight", "rank"]]
+    ordered_edges = edges.orderBy(
+        F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("dst")
+    )
+    for i, r in enumerate(ordered_edges.collect()):
+        rel_rows.append([i, r.src, r.dst, r.description, r.weight, r.edge_rank])
+    text_rows = [["id", "content"]]
+    content = {
+        r.chunk_id: r.content
+        for r in chunk_table.join(
+            chunks.select("chunk_id"), "chunk_id", "left_semi"
+        ).collect()
+    }
+    ordered_chunks = chunks.orderBy(
+        F.asc("chunk_order_index"), F.desc("relation_counts"), F.asc("chunk_id")
+    )
+    for i, r in enumerate(ordered_chunks.collect()):
+        text_rows.append([i, content.get(r.chunk_id, "")])
+    entities_context = list_of_list_to_csv(node_rows)
+    relations_context = list_of_list_to_csv(rel_rows)
+    text_units_context = list_of_list_to_csv(text_rows)
+    return f"""
+    -----Entities-----
+    ```csv
+    {entities_context}
+    ```
+    -----Relationships-----
+    ```csv
+    {relations_context}
+    ```
+    -----Sources-----
+    ```csv
+    {text_units_context}
+    ```
+    """

@@ -16,9 +16,11 @@ pairs identically in Spark and DuckDB with zero float drift.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import quantized_embeddings
+from .dedup import _flat_dot, embedding_dims, quantized_embeddings
 
 # sign-aware squared-cosine rank key, exact in int64:
 #   D ≤ 64·1000² = 6.4e7 → D² ≤ 4.1e15; 10^12·D²  overflows, so divide first:
@@ -30,22 +32,18 @@ _RANK = (
 )
 
 
-def _pairs(qe: DataFrame, n_queries: int) -> DataFrame:
+def _pairs(qe: DataFrame, n_queries: int, dims: int) -> DataFrame:
     q = qe.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qv"), F.col("n").alias("na")
     )
     c = qe.select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cv"), F.col("n").alias("nb")
     )
+    # flat codegen dot (no aggregate/zip_with lambda — those run interpreted;
+    # measured ~30× a flat projection on this exact path, PLANS.md §5)
     return (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .withColumn(
-            "dot",
-            F.expr(
-                "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
-                " cast(0 as long), (acc, x) -> acc + x)"
-            ),
-        )
+        .withColumn("dot", _flat_dot("qv", "cv", dims))
         .withColumn("rank_key", F.expr(_RANK))
     )
 
@@ -54,7 +52,9 @@ def ann_bruteforce_topk(
     spark, sf_dir: str, k: int = 5, n_queries: int = 10
 ) -> DataFrame:
     """(qid, cid, dot, rank_key, rnk): exact top-k neighbors per query."""
-    pairs = _pairs(quantized_embeddings(spark, sf_dir), n_queries)
+    pairs = _pairs(
+        quantized_embeddings(spark, sf_dir), n_queries, embedding_dims(spark, sf_dir)
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("rank_key"), F.asc("cid"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -63,16 +63,31 @@ def ann_bruteforce_topk(
     )
 
 
-def _plane_sign_sum(table: int, plane: int) -> str:
-    """dot(q, h) with hyperplane components ±1 from md5('t:p|d') parity."""
-    return (
-        "aggregate(zip_with(q, sequence(0, size(q) - 1),"
-        f" (x, d) -> case when conv(substring(md5(concat('{table}:{plane}|', cast(d as string))), 1, 1), 16, 10) % 2 = 0"
-        " then x else -x end), cast(0 as long), (acc, x) -> acc + x)"
-    )
+def _plane_signs(table: int, plane: int, dims: int) -> list[int]:
+    """Hyperplane component signs ±1 from md5('t:p|d') first-hex-digit parity.
+
+    Precomputed DRIVER-side (the hyperplane is static data, not per-row
+    work) — the per-row expression is then a pure flat ±q[d] sum in codegen;
+    the DuckDB oracle recomputes the identical md5 parity in SQL.
+    """
+    return [
+        1 if int(hashlib.md5(f"{table}:{plane}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1
+        for d in range(dims)
+    ]
 
 
-def lsh_buckets(qe: DataFrame, tables: int = 8, planes: int = 3) -> DataFrame:
+def _plane_sign_sum(table: int, plane: int, dims: int):
+    s = None
+    for d, sign in enumerate(_plane_signs(table, plane, dims)):
+        term = F.get("q", d) if sign > 0 else -F.get("q", d)
+        s = term if s is None else s + term
+    return s
+
+
+def lsh_buckets(
+    qe: DataFrame, tables: int = 8, planes: int = 3, dims: int = 64
+) -> DataFrame:
     """(vec_id, q, n, table, bucket): multi-table sign-projection buckets.
 
     L independent tables of few planes each trade bucket size for recall —
@@ -84,7 +99,7 @@ def lsh_buckets(qe: DataFrame, tables: int = 8, planes: int = 3) -> DataFrame:
     for t in range(tables):
         bucket = None
         for p in range(planes):
-            bit = F.when(F.expr(_plane_sign_sum(t, p)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bit = F.when(_plane_sign_sum(t, p, dims) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
         rows.append(F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket")))
     return qe.select(
@@ -103,7 +118,8 @@ def ann_lsh_topk(
     AQE-skew-safe; candidates dedup before scoring so each pair is scored
     once regardless of how many tables it collides in.
     """
-    qe = lsh_buckets(quantized_embeddings(spark, sf_dir), tables, planes)
+    dims = embedding_dims(spark, sf_dir)
+    qe = lsh_buckets(quantized_embeddings(spark, sf_dir), tables, planes, dims)
     q = qe.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("table").alias("qt"),
         F.col("bucket").alias("qb"),
@@ -131,13 +147,7 @@ def ann_lsh_topk(
             base.select(F.col("vec_id").alias("cid"), F.col("q").alias("cv"), F.col("n").alias("nb")),
             "cid",
         )
-        .withColumn(
-            "dot",
-            F.expr(
-                "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
-                " cast(0 as long), (acc, x) -> acc + x)"
-            ),
-        )
+        .withColumn("dot", _flat_dot("qv", "cv", dims))
         .withColumn("rank_key", F.expr(_RANK))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("rank_key"), F.asc("cid"))

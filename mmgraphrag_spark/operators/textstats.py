@@ -23,8 +23,26 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
+def _count_in_list(w, words):
+    """Token occurrences (with duplicates) of ``words`` in array ``w`` as a
+    flat native expression: size(w) - size(array_remove(... , each word)).
+    ``array_remove`` is a native function (stays in codegen), unlike a
+    ``filter`` lambda, which evaluates interpreted — the round-1 hot-path
+    anti-pattern this module was flagged for."""
+    pruned = w
+    for s in words:
+        pruned = F.array_remove(pruned, s)
+    return F.size(w) - F.size(pruned)
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_alpha_tokens, n_chars, avg_token_len_ppm)."""
+    """(doc_id, n_tokens, n_alpha_tokens, n_chars, avg_token_len_ppm).
+
+    Sum of token lengths uses the split identity
+    Σ len(tok) = len(text) − (n_tokens − 1) (single-char separators), so the
+    former aggregate-lambda is a flat arithmetic expression with identical
+    values (the DuckDB twin keeps the explicit list_sum — same number).
+    """
     w = F.split("text", " ")
     return docs.select(
         "doc_id",
@@ -32,7 +50,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").alias("n_alpha_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.expr(
-            "aggregate(split(text, ' '), cast(0 as long), (a, x) -> a + length(x))"
+            "(length(text) - size(split(text, ' ')) + 1)"
             " * 1000000L div size(split(text, ' '))"
         ).alias("avg_token_len_ppm"),
     )
@@ -46,9 +64,8 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     repetitiveness, boilerplate and length signals, integer-scaled.
     """
     w = F.split("text", " ")
-    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     n = F.size(w)
-    n_stop = F.size(F.expr(f"filter(split(text, ' '), x -> x in ({stop_list}))"))
+    n_stop = _count_in_list(w, STOPWORDS)
     n_dist = F.size(F.array_distinct(w))
     out = docs.select(
         "doc_id",
@@ -70,23 +87,19 @@ def language_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_guess, hits): stopword-profile argmax with tie-break by
     (hits desc, lang asc); 'und' when no profile hits."""
     w = F.split("text", " ")
-    hit_structs = []
-    for lang, words in sorted(LANG_PROFILES.items()):
-        lst = ", ".join(f"'{s}'" for s in words)
-        hit_structs.append(
-            F.struct(
-                F.size(F.expr(f"filter(split(text, ' '), x -> x in ({lst}))")).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # argmax with (hits desc, lang asc) tie-break via comparator array_sort
-    arr = F.array(*hit_structs)
-    best = F.expr(
-        "element_at(array_sort(hstructs, (l, r) -> case"
-        " when l.hits > r.hits then -1 when l.hits < r.hits then 1"
-        " when l.lang < r.lang then -1 when l.lang > r.lang then 1 else 0 end), 1)"
+    # argmax over a fixed, small language set: hit counts staged as columns
+    # (evaluated once each), then a flat CASE chain (langs in asc order,
+    # strict > keeps the earlier lang on ties — the same (hits desc, lang asc)
+    # rule the oracle's window implements); no interpreted comparator lambda
+    langs = sorted(LANG_PROFILES.items())
+    staged = docs.select(
+        "*", *[_count_in_list(w, words).alias(f"_h_{lang}") for lang, words in langs]
     )
-    out = docs.withColumn("hstructs", arr).withColumn("best", best)
+    best = None
+    for lang, _ in langs:
+        s = F.struct(F.col(f"_h_{lang}").alias("hits"), F.lit(lang).alias("lang"))
+        best = s if best is None else F.when(s["hits"] > best["hits"], s).otherwise(best)
+    out = staged.withColumn("best", best)
     return out.select(
         "doc_id",
         F.when(F.col("best.hits") > 0, F.col("best.lang")).otherwise(F.lit("und")).alias("lang_guess"),

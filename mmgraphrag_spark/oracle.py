@@ -27,8 +27,28 @@ def cte_prefix(cfg: PipelineConfig = DEFAULT) -> str:
     mlen = cfg.mention_min_len
     clen = cfg.concept_min_len
     K = cfg.fusion_window
+    dims = cfg.trigram_dims
+    knn = cfg.fusion_knn
+    SC = 10**8   # fusion.TRIGRAM_SCALE
+    RS = 10**12  # fusion.RANK_SCALE
+    merge_t2 = int(round(cfg.merge_cos * cfg.merge_cos * SC))
+    cluster_t2 = int(round(cfg.cluster_cos * cfg.cluster_cos * SC))
+
+    def _sum(desc_expr: str) -> str:
+        """A1/A2 summarization twin (canonicalize.summarize_description)."""
+        toks = f"string_split({desc_expr}, ' ')"
+        return (
+            f"CASE WHEN len({toks}) >= {cfg.summary_max_tokens}"
+            f" THEN array_to_string(list_slice({toks}, 1, {cfg.summary_keep_tokens}), ' ')"
+            f" || ' <SUMMARY ' || CAST(len({toks}) AS VARCHAR) || ' tokens>'"
+            f" ELSE {desc_expr} END"
+        )
+
+    desc_agg = "string_agg(DISTINCT {t}description, '<SEP>' ORDER BY {t}description)"
+    node_desc = _sum(desc_agg.format(t="n.")) + " AS description"
+    edge_desc = _sum(desc_agg.format(t="")) + " AS description"
     return f"""
-WITH toks AS (
+WITH RECURSIVE toks AS (
   SELECT doc_id AS orig_id,
          'doc' || CAST(doc_id AS VARCHAR) AS doc_id,
          string_split(text, ' ') AS w,
@@ -143,6 +163,59 @@ img_mentions AS (
   UNION ALL
   SELECT doc_id, entity_name, entity_type, description, source_id FROM ori_img
 ),
+-- E9 alignment twin (media.alignment_triples): per object crop, the scene
+-- entity with max exact trigram cosine (ties -> min scene name), weight 10
+al_objs AS (
+  SELECT DISTINCT doc_id, media_ref,
+         upper(media_ref) || '/' || upper(tok) AS obj_name, upper(tok) AS osurf
+  FROM img_scene_raw WHERE len(tok) >= 4 AND len(tok) < {mlen}
+),
+al_scns AS (
+  SELECT DISTINCT doc_id, media_ref,
+         upper(tok) || '@' || upper(media_ref) AS scn_name, upper(tok) AS ssurf
+  FROM img_scene_raw WHERE len(tok) >= {mlen}
+),
+al_surf AS (
+  SELECT DISTINCT s FROM (
+    SELECT osurf AS s FROM al_objs UNION SELECT ssurf AS s FROM al_scns
+  ) u
+),
+al_vec AS (
+  SELECT s, ('0x' || substr(md5(t), 1, 4))::BIGINT % {dims} AS bucket,
+         CAST(sum(CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM (
+    SELECT s, unnest([substr(s, i + 1, 3) for i in range(greatest(length(s) - 2, 1))]) AS t
+    FROM al_surf
+  ) g GROUP BY 1, 2
+),
+al_norm AS (SELECT s, CAST(sum(v * v) AS BIGINT) AS n2 FROM al_vec GROUP BY 1),
+al_need AS (
+  SELECT DISTINCT o.osurf, s.ssurf FROM al_objs o JOIN al_scns s USING (doc_id, media_ref)
+),
+al_dots AS (
+  SELECT n.osurf, n.ssurf, CAST(coalesce(sum(a.v * b.v), 0) AS BIGINT) AS dot
+  FROM al_need n
+  LEFT JOIN al_vec a ON a.s = n.osurf
+  LEFT JOIN al_vec b ON b.s = n.ssurf AND b.bucket = a.bucket
+  GROUP BY 1, 2
+),
+al_best AS (
+  SELECT doc_id, media_ref, obj_name, scn_name FROM (
+    SELECT p.doc_id, p.media_ref, p.obj_name, p.scn_name,
+           row_number() OVER (PARTITION BY p.doc_id, p.media_ref, p.obj_name
+             ORDER BY (CASE WHEN d.dot >= 0 THEN 1 ELSE -1 END)
+                      * ((d.dot * d.dot * 1000000000000) // greatest(na.n2 * nb.n2, 1)) DESC,
+                      p.scn_name ASC) AS rn
+    FROM (
+      SELECT o.doc_id, o.media_ref, o.obj_name, o.osurf, s.scn_name, s.ssurf
+      FROM al_objs o JOIN al_scns s USING (doc_id, media_ref)
+    ) p
+    JOIN al_dots d ON d.osurf = p.osurf AND d.ssurf = p.ssurf
+    JOIN al_norm na ON na.s = p.osurf
+    JOIN al_norm nb ON nb.s = p.ssurf
+  ) t WHERE rn = 1
+),
 img_triples AS (
   SELECT doc_id,
          least(entity_name, upper(media_ref)) AS subj,
@@ -156,6 +229,12 @@ img_triples AS (
     UNION ALL
     SELECT doc_id, media_ref, entity_name FROM img_objects
   ) e
+  UNION ALL
+  SELECT doc_id, least(obj_name, scn_name) AS subj,
+         greatest(obj_name, scn_name) AS obj,
+         'depicts' AS description, CAST(10.0 AS DOUBLE) AS weight,
+         media_ref AS source_id, 1 AS "order"
+  FROM al_best
 ),
 all_mentions AS (
   SELECT entity_name, entity_type, description, source_id FROM mentions
@@ -179,7 +258,7 @@ toptype AS (
 ),
 nodes AS (
   SELECT n.entity_name, t.entity_type,
-         string_agg(DISTINCT n.description, '<SEP>' ORDER BY n.description) AS description,
+         {node_desc},
          string_agg(DISTINCT n.source_id, '<SEP>' ORDER BY n.source_id) AS source_id
   FROM all_mentions n JOIN toptype t USING (entity_name)
   GROUP BY n.entity_name, t.entity_type
@@ -187,7 +266,7 @@ nodes AS (
 edges AS (
   SELECT subj AS src, obj AS dst,
          sum(weight) AS weight,
-         string_agg(DISTINCT description, '<SEP>' ORDER BY description) AS description,
+         {edge_desc},
          string_agg(DISTINCT source_id, '<SEP>' ORDER BY source_id) AS source_id,
          min("order") AS "order"
   FROM all_triples GROUP BY 1, 2
@@ -207,15 +286,139 @@ nearby AS (
    AND t.wpos >= a.anchor - {K} AND t.wpos < a.anchor + {K}
   WHERE len(t.tok) >= {mlen}
 ),
--- fusion reduction on the synthetic corpus: the spectral+kNN+judge pipeline
--- merges an image scene entity into exactly the nearby text entity with an
--- identical surface form (hash embeddings: cosine 1 iff equal strings)
+-- trigram-embedding fusion twin (fusion.py trigram_vector/_fuse_block, exact
+-- int64 fixed-point throughout): signed feature-hashed char-3-gram vectors,
+-- M6 clusters = connected components of the cos>=cluster_cos affinity
+-- (recursive min-label propagation), M5 = kNN majority-label transfer over
+-- the exact cosine order, M7 = merge iff nearest in-cluster text entity
+-- clears merge_cos
+img_fuse AS (
+  -- one row per scene entity name (img_scene keeps per-type variants; the
+  -- fusion block input dedups to names, fusion.py fusion_blocks 'scene')
+  SELECT DISTINCT doc_id, media_ref, entity_name,
+         split_part(entity_name, '@', 1) AS surface
+  FROM img_scene
+),
+tri_names AS (
+  SELECT DISTINCT s FROM (
+    SELECT surface AS s FROM img_fuse
+    UNION
+    SELECT entity_name AS s FROM nearby
+  ) u
+),
+tri_grams AS (
+  SELECT s, unnest([substr(s, i + 1, 3) for i in range(greatest(length(s) - 2, 1))]) AS t
+  FROM tri_names
+),
+tri_vecs AS (
+  SELECT s, d, v FROM (
+    SELECT s, ('0x' || substr(md5(t), 1, 4))::BIGINT % {dims} AS d,
+           CAST(sum(CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS v
+    FROM tri_grams GROUP BY 1, 2
+  ) z WHERE v <> 0
+),
+tri_norms AS (SELECT s, CAST(sum(v * v) AS BIGINT) AS n2 FROM tri_vecs GROUP BY 1),
+need_pairs AS (
+  SELECT DISTINCT sa, sb FROM (
+    SELECT a.entity_name AS sa, b.entity_name AS sb
+    FROM nearby a JOIN nearby b
+      ON a.doc_id = b.doc_id AND a.media_ref = b.media_ref
+     AND a.entity_name < b.entity_name
+    UNION
+    SELECT s.surface AS sa, n.entity_name AS sb
+    FROM img_fuse s JOIN nearby n
+      ON s.doc_id = n.doc_id AND s.media_ref = n.media_ref
+  ) u
+),
+tri_dots AS (
+  SELECT p.sa, p.sb, CAST(coalesce(sum(va.v * vb.v), 0) AS BIGINT) AS dot
+  FROM need_pairs p
+  LEFT JOIN tri_vecs va ON va.s = p.sa
+  LEFT JOIN tri_vecs vb ON vb.s = p.sb AND vb.d = va.d
+  GROUP BY 1, 2
+),
+tt_edges AS (
+  SELECT a.doc_id, a.media_ref, a.entity_name AS x, b.entity_name AS y
+  FROM nearby a
+  JOIN nearby b ON a.doc_id = b.doc_id AND a.media_ref = b.media_ref
+              AND a.entity_name < b.entity_name
+  JOIN tri_dots d ON d.sa = a.entity_name AND d.sb = b.entity_name
+  JOIN tri_norms nx ON nx.s = a.entity_name
+  JOIN tri_norms ny ON ny.s = b.entity_name
+  WHERE d.dot > 0 AND d.dot * d.dot * {SC} >= {cluster_t2} * nx.n2 * ny.n2
+),
+tt_bi AS (
+  SELECT doc_id, media_ref, x, y FROM tt_edges
+  UNION ALL
+  SELECT doc_id, media_ref, y AS x, x AS y FROM tt_edges
+),
+reach AS (
+  SELECT doc_id, media_ref, entity_name AS nm, entity_name AS rep FROM nearby
+  UNION
+  SELECT e.doc_id, e.media_ref, e.y AS nm, r.rep
+  FROM reach r JOIN tt_bi e
+    ON e.doc_id = r.doc_id AND e.media_ref = r.media_ref AND e.x = r.nm
+),
+comp AS (
+  SELECT doc_id, media_ref, nm, min(rep) AS rep FROM reach GROUP BY 1, 2, 3
+),
+comp_lbl AS (
+  SELECT doc_id, media_ref, nm, rep,
+         CAST(dense_rank() OVER (PARTITION BY doc_id, media_ref ORDER BY rep)
+              - 1 AS BIGINT) AS label
+  FROM comp
+),
+img_cand AS (
+  SELECT s.doc_id, s.media_ref, s.entity_name AS img_name,
+         n.entity_name AS txt_name, d.dot, ni.n2 AS ni2, nt.n2 AS nt2,
+         CAST(CASE WHEN d.dot >= 0 THEN 1 ELSE -1 END
+              * ((d.dot * d.dot * {RS}) // greatest(ni.n2 * nt.n2, 1))
+              AS BIGINT) AS rank_key
+  FROM img_fuse s
+  JOIN nearby n ON s.doc_id = n.doc_id AND s.media_ref = n.media_ref
+  JOIN tri_dots d ON d.sa = s.surface AND d.sb = n.entity_name
+  JOIN tri_norms ni ON ni.s = s.surface
+  JOIN tri_norms nt ON nt.s = n.entity_name
+),
+knn_top AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY doc_id, media_ref, img_name
+                                   ORDER BY rank_key DESC, txt_name ASC) AS rn
+    FROM img_cand c
+  ) t WHERE rn <= {knn}
+),
+maj AS (
+  -- majority component over the k nearest; ties -> component of the nearest
+  -- candidate (min rn), mirroring _fuse_block
+  SELECT doc_id, media_ref, img_name, rep FROM (
+    SELECT g.*, row_number() OVER (PARTITION BY doc_id, media_ref, img_name
+                                   ORDER BY cnt DESC, best_rn ASC) AS rn
+    FROM (
+      SELECT k.doc_id, k.media_ref, k.img_name, c.rep, count(*) AS cnt,
+             min(k.rn) AS best_rn
+      FROM knn_top k JOIN comp c
+        ON c.doc_id = k.doc_id AND c.media_ref = k.media_ref
+       AND c.nm = k.txt_name
+      GROUP BY 1, 2, 3, 4
+    ) g
+  ) t WHERE rn = 1
+),
+tgt AS (
+  SELECT doc_id, media_ref, img_name, txt_name, dot, ni2, nt2 FROM (
+    SELECT c.doc_id, c.media_ref, c.img_name, c.txt_name, c.dot, c.ni2, c.nt2,
+           row_number() OVER (PARTITION BY c.doc_id, c.media_ref, c.img_name
+                              ORDER BY c.rank_key DESC, c.txt_name ASC) AS rn
+    FROM img_cand c
+    JOIN comp cc ON cc.doc_id = c.doc_id AND cc.media_ref = c.media_ref
+                AND cc.nm = c.txt_name
+    JOIN maj m ON m.doc_id = c.doc_id AND m.media_ref = c.media_ref
+              AND m.img_name = c.img_name AND cc.rep = m.rep
+  ) t WHERE rn = 1
+),
 merge_map AS (
-  SELECT DISTINCT s.doc_id, s.media_ref,
-         s.entity_name AS old_name, n.entity_name AS new_name
-  FROM img_scene s JOIN nearby n
-    ON s.doc_id = n.doc_id AND s.media_ref = n.media_ref
-   AND split_part(s.entity_name, '@', 1) = n.entity_name
+  SELECT DISTINCT doc_id, media_ref, img_name AS old_name, txt_name AS new_name
+  FROM tgt WHERE dot > 0 AND dot * dot * {SC} >= {merge_t2} * ni2 * nt2
 ),
 mmap AS (SELECT DISTINCT old_name, new_name FROM merge_map),
 fused_mentions AS (
@@ -247,7 +450,7 @@ fused_toptype AS (
 ),
 fused_nodes AS (
   SELECT n.entity_name, t.entity_type,
-         string_agg(DISTINCT n.description, '<SEP>' ORDER BY n.description) AS description,
+         {node_desc},
          string_agg(DISTINCT n.source_id, '<SEP>' ORDER BY n.source_id) AS source_id
   FROM fused_mentions n JOIN fused_toptype t USING (entity_name)
   GROUP BY n.entity_name, t.entity_type
@@ -255,7 +458,7 @@ fused_nodes AS (
 fused_edges AS (
   SELECT subj AS src, obj AS dst,
          sum(weight) AS weight,
-         string_agg(DISTINCT description, '<SEP>' ORDER BY description) AS description,
+         {edge_desc},
          string_agg(DISTINCT source_id, '<SEP>' ORDER BY source_id) AS source_id,
          min("order") AS "order"
   FROM fused_triples GROUP BY 1, 2
@@ -301,7 +504,7 @@ enh_toptype AS (
 ),
 enh_nodes AS (
   SELECT n.entity_name, t.entity_type,
-         string_agg(DISTINCT n.description, '<SEP>' ORDER BY n.description) AS description,
+         {node_desc},
          string_agg(DISTINCT n.source_id, '<SEP>' ORDER BY n.source_id) AS source_id
   FROM enh_mentions n JOIN enh_toptype t USING (entity_name)
   GROUP BY n.entity_name, t.entity_type
@@ -309,7 +512,7 @@ enh_nodes AS (
 enh_edges AS (
   SELECT subj AS src, obj AS dst,
          sum(weight) AS weight,
-         string_agg(DISTINCT description, '<SEP>' ORDER BY description) AS description,
+         {edge_desc},
          string_agg(DISTINCT source_id, '<SEP>' ORDER BY source_id) AS source_id,
          min("order") AS "order"
   FROM enh_triples GROUP BY 1, 2
@@ -332,6 +535,23 @@ def mentions_select() -> str:
         "SELECT doc_id, chunk_id, entity_name, entity_type, description, source_id"
         " FROM mentions"
     )
+
+
+def mentions_gleaned_select(cfg: PipelineConfig = DEFAULT) -> str:
+    """E1 gleaning twin: base mentions plus the round-2 recovered tokens of
+    length mention_min_len-1 with the '(gleaned)' description tag."""
+    mlen, clen = cfg.mention_min_len, cfg.concept_min_len
+    return f"""
+SELECT doc_id, chunk_id, entity_name, entity_type, description, source_id
+FROM mentions
+UNION
+SELECT DISTINCT doc_id, chunk_id, upper(tok) AS entity_name,
+       CASE WHEN len(tok) >= {clen} THEN 'CONCEPT'
+            WHEN pos % 2 = 0 THEN 'TERM' ELSE 'LABEL' END AS entity_type,
+       tok || ' in ' || chunk_id || ' (gleaned)' AS description,
+       chunk_id AS source_id
+FROM ctoks WHERE len(tok) = {mlen - 1}
+"""
 
 
 def triples_select() -> str:
@@ -503,6 +723,54 @@ SELECT h.entity_name, n.entity_type FROM (
     )
 
 
+def entity_vdb_topk_sql(
+    cfg: PipelineConfig = DEFAULT, k: int = 5, threshold: float = 0.2,
+    query: str | None = None,
+) -> str:
+    """T1 twin: trigram-embedded entity VDB top-k with better_than_threshold
+    (entity_vdb.entity_vdb_topk). Query vector inlined from the same Python
+    encoder both engines mirror."""
+    from .operators.fusion import trigram_vector
+
+    query = query or cfg.qctx_query
+    dims = cfg.trigram_dims
+    qv = trigram_vector(query, dims)
+    nq2 = int((qv * qv).sum())
+    t2 = int(round(threshold * threshold * 10_000))
+    qlit = "[" + ", ".join(str(int(x)) for x in qv) + "]"
+    return cte_prefix(cfg) + f""",
+ev AS (SELECT entity_name, entity_name || description AS content FROM nodes),
+evg AS (
+  SELECT entity_name,
+         unnest([substr(content, i + 1, 3) for i in range(greatest(length(content) - 2, 1))]) AS t
+  FROM ev
+),
+evv AS (
+  SELECT entity_name, ('0x' || substr(md5(t), 1, 4))::BIGINT % {dims} AS bucket,
+         CAST(sum(CASE WHEN ('0x' || substr(md5(t), 5, 1))::BIGINT % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM evg GROUP BY 1, 2
+),
+score AS (
+  SELECT entity_name,
+         CAST(sum(v * ({qlit})[bucket + 1]) AS BIGINT) AS dot,
+         CAST(sum(v * v) AS BIGINT) AS n2
+  FROM evv GROUP BY 1
+),
+gated AS (
+  SELECT 'ent-' || md5(entity_name) AS id, entity_name, dot, n2,
+         CAST(CASE WHEN dot >= 0 THEN 1 ELSE -1 END
+              * ((dot * dot) // greatest((n2 * {nq2}) // 1000000, 1)) AS BIGINT) AS rank_key
+  FROM score
+  WHERE dot > 0 AND dot * dot * 10000 >= {t2 * nq2} * n2
+)
+SELECT id, entity_name, rank_key, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY rank_key DESC, entity_name ASC) AS rnk
+  FROM gated
+) t WHERE rnk <= {k}
+"""
+
+
 def mm_decode_select() -> str:
     return """
 SELECT media_ref,
@@ -526,6 +794,14 @@ WHERE length(media_ref || ':' || context) > CAST(u.k AS INT) * {frame_bytes}
 
 def merge_map_select() -> str:
     return "SELECT doc_id, media_ref, old_name, new_name FROM merge_map"
+
+
+def clusters_select() -> str:
+    """M6 cluster components twin (value check for kg_clusters)."""
+    return (
+        "SELECT doc_id, media_ref, nm AS entity_name, label,"
+        " rep AS cluster_rep FROM comp_lbl"
+    )
 
 
 def fused_nodes_select() -> str:

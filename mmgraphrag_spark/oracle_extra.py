@@ -128,13 +128,28 @@ def _dot_expr(qa: str, qb: str) -> str:
     )
 
 
-def dup_embedding_sql(cos_threshold: float = 0.4) -> str:
+def dup_embedding_sql(
+    cos_threshold: float = 0.4, tables: int = 8, planes: int = 3
+) -> str:
+    """LSH-bucketed candidates + exact integer verification (twin of
+    dedup.embedding_near_duplicates — equi-join on (table, bucket), never
+    all-pairs)."""
     t2 = int(round(cos_threshold * cos_threshold * 10_000))
     dot = _dot_expr("a.q", "b.q")
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {_bucket_expr('q', t, planes)} AS bucket, {t} AS tbl FROM qn"
+        for t in range(tables)
+    )
     return f"""
-WITH {_QE}
-SELECT a.vec_id AS a, b.vec_id AS b, {dot} AS dot, a.n AS na, b.n AS nb
-FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+WITH {_QE},
+qb AS ({per_table}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM qb x JOIN qb y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.a, c.b, {dot} AS dot, a.n AS na, b.n AS nb
+FROM cand c JOIN qn a ON a.vec_id = c.a JOIN qn b ON b.vec_id = c.b
 WHERE {dot} > 0 AND {dot} * {dot} * 10000 >= {t2} * a.n * b.n
 """
 

@@ -97,3 +97,49 @@ def test_degrees(spark):
     )
     got = {r.entity_name: r.degree for r in canon.degrees(edges).collect()}
     assert got == {"A": 2, "B": 2, "C": 2}
+
+
+def test_summarization_branch_bounds_hub_descriptions(spark):
+    """A1 summarization (reference text2graph.py:70-112): descriptions at or
+    over summary_max_tokens are replaced by the deterministic summary; short
+    ones pass through untouched."""
+    from dataclasses import replace
+
+    from mmgraphrag_spark.config import DEFAULT
+
+    cfg = replace(DEFAULT, summary_max_tokens=6, summary_keep_tokens=3)
+    m = spark.createDataFrame(
+        [("HUB", "T", f"part{i} of text", f"c{i}") for i in range(4)]
+        + [("LEAF", "T", "short one", "c0")],
+        "entity_name string, entity_type string, description string, source_id string",
+    )
+    got = {r.entity_name: r.description for r in canon.build_nodes(m, cfg=cfg).collect()}
+    assert got["LEAF"] == "short one"
+    # 4 parts * 3 tokens, <SEP>-joined => 10 whitespace tokens >= 6 -> summarized
+    assert got["HUB"].endswith("tokens>") and "<SUMMARY" in got["HUB"]
+    assert len(got["HUB"].split(" ")) < 10
+
+
+def test_summarize_udf_equals_column_mock(spark):
+    """The Arrow-batched summarizer (production LLM slot) must equal the
+    codegen'd column mock on the same threshold."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from mmgraphrag_spark.config import DEFAULT
+
+    cfg = replace(DEFAULT, summary_max_tokens=4, summary_keep_tokens=2)
+    df = spark.createDataFrame(
+        [(f"n{i}", " ".join(f"w{j}" for j in range(i))) for i in range(1, 9)],
+        "entity_name string, description string",
+    )
+    a = (
+        df.withColumn("description", canon.summarize_description(F.col("description"), cfg))
+        .toPandas().sort_values("entity_name").reset_index(drop=True)
+    )
+    b = (
+        canon.summarize_descriptions_udf(df, cfg=cfg)
+        .toPandas().sort_values("entity_name").reset_index(drop=True)
+    )
+    assert a.equals(b)

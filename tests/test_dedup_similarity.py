@@ -109,3 +109,23 @@ def test_fingerprint_stable_under_local_edit(spark):
     d = _docs(spark, [(1, base), (2, edited)])
     fp = {r.doc_id: (r.doc_md5, r.winnow) for r in textstats.fingerprints(d).collect()}
     assert fp[1][0] != fp[2][0]  # full-doc hash differs
+
+
+def test_embedding_lsh_dedup_subset_of_bruteforce(spark):
+    """The LSH-bucketed near-dup pairs must be a subset of the brute-force
+    all-pairs result (verification is exact), with substantial recall."""
+    lsh = dedup.embedding_near_duplicates(spark, SF_TINY).toPandas()
+    bf = dedup.embedding_near_duplicates_bruteforce(spark, SF_TINY).toPandas()
+    lp = set(zip(lsh["a"], lsh["b"]))
+    bp = set(zip(bf["a"], bf["b"]))
+    assert lp <= bp
+    assert len(bp) > 0
+    assert len(lp) / len(bp) >= 0.5, f"recall {len(lp)}/{len(bp)}"
+
+
+def test_embedding_dedup_plan_has_no_nested_loop_join(spark):
+    """The driver query must be equi-join-shaped (the round-1 all-pairs BNLJ
+    is the scale-killer the brute-force twin is quarantined for)."""
+    plan = dedup.embedding_near_duplicates(spark, SF_TINY)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

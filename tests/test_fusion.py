@@ -14,8 +14,8 @@ from mmgraphrag_spark.operators.embedding import with_embedding
 
 
 def test_hash_embedding_separates_vocab(spark):
-    """Distinct surface forms must fall below merge_cos; equal forms hit 1.0.
-    This is the property the fused-graph oracle reduction rests on."""
+    """Hash embeddings (the generic M1 surface): distinct forms near-orthogonal,
+    equal forms cosine 1, unit norm."""
     toks = (
         spark.read.parquet(f"{SF_TINY}/documents.parquet")
         .selectExpr("explode(split(text, ' ')) AS tok").distinct()
@@ -24,8 +24,145 @@ def test_hash_embedding_separates_vocab(spark):
     E = np.vstack(emb["embedding"].to_numpy())
     S = E @ E.T
     np.fill_diagonal(S, 0.0)
-    assert S.max() < DEFAULT.merge_cos
+    assert S.max() < 0.99
     assert np.allclose((E * E).sum(1), 1.0, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# independent NumPy oracle for the trigram family (no fusion.py imports —
+# plain-Python twin used to precompute expected merges/labels)
+# ---------------------------------------------------------------------------
+
+def _np_trigram(s, dims=32):
+    import hashlib
+
+    v = np.zeros(dims, dtype=np.int64)
+    for i in range(max(len(s) - 2, 1)):
+        h = hashlib.md5(s[i:i + 3].encode()).hexdigest()
+        v[int(h[:4], 16) % dims] += 1 if int(h[4], 16) % 2 == 0 else -1
+    return v
+
+
+def _np_cos(a, b):
+    va, vb = _np_trigram(a), _np_trigram(b)
+    na, nb = float((va * va).sum()), float((vb * vb).sum())
+    return float(va @ vb) / (na ** 0.5 * nb ** 0.5) if na and nb else 0.0
+
+
+def test_trigram_family_properties():
+    """Near-but-unequal surfaces clear merge_cos; unrelated ones do not —
+    the anti-degeneracy property (round-1 hash embeddings collapsed the
+    judge to string equality)."""
+    assert _np_cos("WINDOW", "WINDOWS") >= DEFAULT.merge_cos
+    assert _np_cos("STREAM", "STREAMS") >= DEFAULT.merge_cos
+    assert abs(_np_cos("ALPHA", "ALPHA") - 1.0) < 1e-9
+    assert _np_cos("ALPHA", "BATCH") < 0.5
+    assert _np_cos("SPARK", "STREAM") < 0.5
+
+
+def test_merge_fires_on_near_unequal_surface(spark):
+    """A scene entity must merge into a nearby text entity whose surface is
+    CLOSE but NOT EQUAL — the case a string-equality judge gets wrong."""
+    words = ("windows batch " * 30).strip()  # nearby text: WINDOWS, BATCH
+    docs = make_docs(spark, [
+        ("doc0", [("text", words, "", 0),
+                  ("image", "window pict", "doc0/image_1", 1)]),
+    ])
+    flat = synth.explode_spans(docs)
+    med = media.media_spans(flat)
+    mm = fusion.merge_map(flat, med, media.image_mentions(med)).collect()
+    got = {(r.old_name, r.new_name) for r in mm}
+    assert ("WINDOW@DOC0/IMAGE_1", "WINDOWS") in got
+    # sanity: the surfaces really are unequal and the cosine really is < 1
+    assert 0.8 <= _np_cos("WINDOW", "WINDOWS") < 1.0
+
+
+def test_cluster_components_near_variants_co_cluster(spark):
+    """M6 components: suffix variants share a cluster (rep = min name);
+    unrelated tokens do not."""
+    words = ("stream streams alpha " * 20).strip()
+    docs = make_docs(spark, [
+        ("doc0", [("text", words, "", 0),
+                  ("image", "alpha pict", "doc0/image_1", 1)]),
+    ])
+    flat = synth.explode_spans(docs)
+    med = media.media_spans(flat)
+    blocks = fusion.fusion_blocks(flat, med, media.image_mentions(med))
+    cl = {r.entity_name: r.cluster_rep
+          for r in fusion.cluster_assignments(blocks).collect()}
+    assert cl["STREAM"] == cl["STREAMS"] == "STREAM"
+    assert cl["ALPHA"] == "ALPHA"
+    assert cl["ALPHA"] != cl["STREAM"]
+
+
+def test_spectral_labels_match_numpy_oracle(spark):
+    """M3/M4: Spark's per-block eigh+DBSCAN labels equal an independent NumPy
+    reimplementation (affinity -> unnormalized Laplacian -> k smallest
+    eigenvectors -> DBSCAN), groupings compared as partitions."""
+    import math as m
+
+    words = ("stream streams alpha tensor tensors " * 12).strip()
+    docs = make_docs(spark, [
+        ("doc0", [("text", words, "", 0),
+                  ("image", "alpha pict", "doc0/image_1", 1)]),
+    ])
+    flat = synth.explode_spans(docs)
+    med = media.media_spans(flat)
+    blocks = fusion.fusion_blocks(flat, med, media.image_mentions(med))
+    got = {r.entity_name: r.label
+           for r in fusion.spectral_assignments(blocks).collect()}
+
+    names = sorted(got)
+    V = np.vstack([_np_trigram(s).astype(float) for s in names])
+    n2 = (V * V).sum(1)
+    U = np.where(n2[:, None] > 0, V / np.sqrt(n2)[:, None], 0.0)
+    A = np.clip(U @ U.T, 0.0, None)
+    np.fill_diagonal(A, 0.0)
+    L = np.diag(A.sum(1)) - A
+    _, vecs = np.linalg.eigh((L + L.T) / 2.0)
+    n = len(names)
+    Y = vecs[:, : min(n, max(2, m.ceil(m.sqrt(n))))]
+
+    # plain DBSCAN reimplementation (euclidean, eps=0.5, min_samples=ceil(n/10))
+    eps, min_s = DEFAULT.fusion_eps, max(1, m.ceil(n / 10))
+    d2 = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(-1)
+    nbr = d2 <= eps * eps
+    core = nbr.sum(1) >= min_s
+    want = {}
+    cur = 0
+    for i in range(n):
+        if names[i] in want or not core[i]:
+            continue
+        frontier = [i]
+        want[names[i]] = cur
+        while frontier:
+            p = frontier.pop()
+            if not core[p]:
+                continue
+            for q in np.nonzero(nbr[p])[0]:
+                if names[q] not in want:
+                    want[names[q]] = cur
+                    if core[q]:
+                        frontier.append(int(q))
+        cur += 1
+    for i in range(n):
+        want.setdefault(names[i], -1)
+
+    # compare as partitions (label ids are arbitrary): same co-membership
+    def parts(lbl):
+        groups = {}
+        for k, v in lbl.items():
+            groups.setdefault(v, set()).add(k)
+        noise = groups.pop(-1, set())
+        return {frozenset(g) for g in groups.values()}, noise
+
+    got_p, got_noise = parts(got)
+    want_p, want_noise = parts(want)
+    assert got_p == want_p and got_noise == want_noise
+    # semantic expectation: the suffix families co-cluster
+    lbl = got
+    assert lbl["STREAM"] == lbl["STREAMS"]
+    assert lbl["TENSOR"] == lbl["TENSORS"]
 
 
 def test_dbscan_two_groups_and_noise():

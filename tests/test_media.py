@@ -31,10 +31,37 @@ def test_containment_edges_weight_10(spark):
     m = _media(spark)
     trips = media.image_triples(m).collect()
     assert len(trips) > 0
+    contained = [t for t in trips if t.description == "contained in image"]
+    depicts = [t for t in trips if t.description == "depicts"]
+    assert len(contained) + len(depicts) == len(trips)
     for t in trips:
         assert t.weight == 10.0  # reference img2graph.py:472,478
+    for t in contained:
         # one endpoint is the ORI_IMG node (upper media_ref)
         assert t.subj == t.source_id.upper() or t.obj == t.source_id.upper()
+    for t in depicts:
+        # E9 alignment: object crop ('REF/LABEL') <-> scene entity ('NAME@REF')
+        names = {t.subj, t.obj}
+        assert any("/" in n for n in names) and any("@" in n for n in names)
+
+
+def test_alignment_picks_most_similar_scene_entity(spark):
+    """E9 (img2graph.py:386-417 twin): the crop aligns to the scene entity
+    with max trigram cosine to its label — 'pict' -> 'PICTURES' beats
+    'ALPHA'."""
+    from conftest import make_docs
+
+    from mmgraphrag_spark import synth
+
+    docs = make_docs(spark, [
+        ("doc0", [("text", "alpha pictures " * 30, "", 0),
+                  ("image", "alpha pictures pict", "doc0/image_1", 1)]),
+    ])
+    med = media.media_spans(synth.explode_spans(docs))
+    al = media.alignment_triples(med).collect()
+    got = {tuple(sorted((r.subj, r.obj))) for r in al}
+    assert ("DOC0/IMAGE_1/PICT", "PICTURES@DOC0/IMAGE_1") in got
+    assert not any("ALPHA@" in a or "ALPHA@" in b for a, b in got)
 
 
 def test_ori_img_node_per_media_span(spark):

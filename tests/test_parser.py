@@ -77,3 +77,35 @@ def test_mock_extractor_grammar_roundtrip(spark):
     got = {(t.subj, t.obj) for t in trips.collect()}
     # consecutive qualifying pairs: alpha-batch, batch-gamma, gamma-alpha
     assert got == {("ALPHA", "BATCH"), ("BATCH", "GAMMA"), ("ALPHA", "GAMMA")}
+
+
+def test_clean_str_column_matches_python_html_unescape(spark):
+    """P1: the codegen clean_str must match html.unescape + control-strip on
+    the covered entity set (reference base.py:47-56)."""
+    import html
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mmgraphrag_spark.functions.cleaning import clean_str_col
+
+    samples = [
+        "  plain  ", "a&amp;b", "&lt;tag&gt;", "&quot;q&quot;", "x&#39;s",
+        "&amp;lt;", "ctrl\x01char\x7f", "nb&nbsp;sp", "mixed &amp; \x02&lt;ok&gt;",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r.c for r in df.select(clean_str_col(F.col("s")).alias("c")).collect()]
+    want = [re.sub(r"[\x00-\x1f\x7f-\x9f]", "", html.unescape(s.strip())) for s in samples]
+    assert got == want
+
+
+def test_decode_applies_clean_str(spark):
+    """Dirty grammar fields (HTML escapes, control chars) come out clean."""
+    from mmgraphrag_spark.operators import extractor
+
+    raw = spark.createDataFrame(
+        [("d", "c", '("entity"<|>"A&amp;B\x01"<|>"TYPE"<|>"d&lt;e")##<|COMPLETE|>')],
+        "doc_id string, chunk_id string, output string",
+    )
+    m = extractor.decode_mentions(extractor.parse_records(raw)).collect()
+    assert [(r.entity_name, r.description) for r in m] == [("A&B", "d<e")]

@@ -84,3 +84,36 @@ def test_frame_samples_hash_actual_bytes(spark):
             raw[r.media_ref][r.frame_idx * 16 : (r.frame_idx + 1) * 16]
         ).hexdigest()
         assert r.frame_md5 == expect
+
+
+def test_render_context_reference_layout(spark):
+    """CSV context assembly (reference query.py:263-311): three sections,
+    ',\\t' cells, quoted strings, bare numbers."""
+    from conftest import SF_TINY
+
+    from mmgraphrag_spark import api
+    from mmgraphrag_spark.config import DEFAULT
+    from mmgraphrag_spark.operators import query_ctx
+
+    nodes = api.nodes(spark, SF_TINY)
+    edges = api.edges(spark, SF_TINY)
+    seeds = query_ctx.seed_entities(nodes, edges, DEFAULT.qctx_query, DEFAULT.qctx_k)
+    ctx_edges = query_ctx.context_edges(
+        nodes, edges, DEFAULT.qctx_query, DEFAULT.qctx_k, DEFAULT.qctx_token_budget
+    )
+    chunks = api.chunks(spark, SF_TINY)
+    ctx_chunks = query_ctx.context_chunks(
+        nodes, edges, chunks, DEFAULT.qctx_query, DEFAULT.qctx_k
+    )
+    out = query_ctx.render_context(seeds, ctx_edges, ctx_chunks, chunks)
+    for section in ("-----Entities-----", "-----Relationships-----", "-----Sources-----"):
+        assert section in out
+    assert out.count("```csv") == 3
+    # header rows present with the reference's exact columns
+    assert '"id",\t"entity",\t"type",\t"description",\t"rank"' in out
+    assert '"id",\t"source",\t"target",\t"description",\t"weight",\t"rank"' in out
+    assert '"id",\t"content"' in out
+    # data rows: ids are bare ints, entity names quoted
+    n_seeds = seeds.count()
+    assert n_seeds > 0
+    assert "\n0,\t" in out.replace("\n    ", "\n")
