@@ -219,16 +219,11 @@ def _fuse_block(pdf, eps: float, merge_t2: int, cluster_t2: int,
         return empty
 
     n = len(txt)
-    # one vector per unique surface (cached — blocks repeat surfaces rarely,
-    # but batches of blocks repeat them a lot at corpus scale)
-    cache: dict[str, np.ndarray] = {}
-
-    def vec(s: str) -> np.ndarray:
-        if s not in cache:
-            cache[s] = trigram_vector(s, dims)
-        return cache[s]
-
-    V_t = np.vstack([vec(s) for s in txt["surface"]])
+    # vectors arrive precomputed from the JVM trigram stage (fusion_blocks):
+    # one codegen pass per DISTINCT surface corpus-wide, instead of hashlib
+    # md5 per gram per block occurrence (hot Zipf surfaces appear in ~every
+    # block — measured as the round-2 fusion-stage scaling killer)
+    V_t = np.vstack(txt["vec"].to_numpy()).astype(np.int64)
     n2_t = (V_t * V_t).sum(1)
 
     # ---- M6 clusters = connected components of the thresholded affinity ----
@@ -288,7 +283,7 @@ def _fuse_block(pdf, eps: float, merge_t2: int, cluster_t2: int,
         return pd.concat([clusters, spectral], ignore_index=True)
 
     # ---- M5 kNN majority-label transfer + M7 threshold judge ---------------
-    V_i = np.vstack([vec(s) for s in img["surface"]])
+    V_i = np.vstack(img["vec"].to_numpy()).astype(np.int64)
     n2_i = (V_i * V_i).sum(1)
     D_it = V_i @ V_t.T
     out = []
@@ -353,6 +348,27 @@ def fusion_blocks(
     merge_t2 = int(round(cfg.merge_cos * cfg.merge_cos * TRIGRAM_SCALE))
     cluster_t2 = int(round(cfg.cluster_cos * cfg.cluster_cos * TRIGRAM_SCALE))
     dims, knn = cfg.trigram_dims, cfg.fusion_knn
+    # trigram vectors computed ONCE per distinct surface, JVM-side codegen
+    # (functions.trigram == trigram_vector bit-for-bit, unit-tested), then
+    # broadcast-joined onto the block rows — the per-block Python sees dense
+    # int arrays and does only the numpy math
+    from ..functions.trigram import sparse_vectors
+
+    surf = both.select("surface").distinct()
+    dense = (
+        sparse_vectors(surf, ["surface"], "surface", dims)
+        .groupBy("surface")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m"))
+        .select(
+            "surface",
+            F.array(*[
+                F.coalesce(F.element_at("m", F.lit(i)), F.lit(0)) for i in range(dims)
+            ]).alias("vec"),
+        )
+    )
+    # plain equi-join on surface: AQE broadcasts the vocab side while it is
+    # small and falls back to a shuffled join at web-corpus vocabulary sizes
+    both = both.join(dense, "surface")
     return both.repartition("media_ref").groupBy("media_ref").applyInPandas(
         lambda pdf: _fuse_block(pdf, eps, merge_t2, cluster_t2, dims, knn),
         schema=FUSION_SCHEMA,

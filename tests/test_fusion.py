@@ -231,3 +231,28 @@ def test_fused_edges_rewired_weights_conserved(spark):
     post = api.fused_edges(spark, SF_TINY).toPandas()
     assert math.isclose(pre["weight"].sum(), post["weight"].sum())
     assert len(post) <= len(pre)
+
+
+def test_jvm_trigram_vectors_equal_python_encoder(spark):
+    """The JVM sparse_vectors stage must equal fusion.trigram_vector
+    bit-for-bit (the fusion blocks consume the JVM vectors; the oracle and
+    entity-VDB query constants come from the Python encoder)."""
+    from pyspark.sql import functions as F
+
+    from mmgraphrag_spark.functions.trigram import sparse_vectors
+
+    vocab = ["SPARK", "SPARKS", "A", "", "WINDOW", "ALPHA", "X1", "LONGERTOKEN"]
+    df = spark.createDataFrame([(s,) for s in vocab], "s string")
+    dense = (
+        sparse_vectors(df, ["s"], "s", DEFAULT.trigram_dims)
+        .groupBy("s")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m"))
+        .select("s", F.array(*[
+            F.coalesce(F.element_at("m", F.lit(i)), F.lit(0))
+            for i in range(DEFAULT.trigram_dims)
+        ]).alias("vec"))
+    )
+    got = {r.s: list(r.vec) for r in dense.collect()}
+    for s in vocab:
+        want = list(fusion.trigram_vector(s, DEFAULT.trigram_dims))
+        assert got[s] == want, s

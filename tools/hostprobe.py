@@ -1,0 +1,98 @@
+"""Host CPU-scaling ceiling probe — context for BENCH/BASELINE.md.
+
+The north_rule's >=0.8 efficiency criterion assumes adding executors adds
+hardware. local[N] on one sandbox host does not: this probe measures the
+host's OWN parallel-scaling ceiling with three independent workloads so the
+pipeline's measured efficiency can be judged against what the hardware
+permits (the driver can re-run this file; it has no repo dependencies beyond
+session.py).
+
+* raw python  — multiprocessing, zero shared state, pure ALU loop.
+* spark cpu   — whole-stage-codegen md5 scan, no shuffle, no python workers.
+* spark shuffle — repartition + two-level aggregate (shuffle-file path).
+
+Each level runs the same per-worker workload; perfect scaling = flat wall
+time across levels. Prints one JSON line per (workload, level).
+
+Usage: python tools/hostprobe.py [levels...]  (default: 4 8 16 32)
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import subprocess
+import sys
+import textwrap
+import time
+
+_BURN_N = 30_000_000
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i % 7
+    return x
+
+
+def raw_python(level: int) -> float:
+    t0 = time.perf_counter()
+    with mp.Pool(level) as p:
+        p.map(_burn, [_BURN_N] * level)
+    return time.perf_counter() - t0
+
+
+_SPARK_SCRIPT = textwrap.dedent("""
+    import sys, time, json
+    sys.path.insert(0, "/root/repo")
+    from mmgraphrag_spark.session import get_spark
+    from pyspark.sql import functions as F
+    cores = int(sys.argv[1])
+    spark = get_spark("hostprobe", cores=cores)
+    spark.range(0, 1000).agg(F.count("*")).collect()  # warm codegen
+    # per-core constant work => flat wall time under perfect scaling
+    N_PER = 2_000_000
+    t0 = time.perf_counter()
+    spark.range(0, N_PER * cores, 1, cores).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    ).agg(F.count(F.when(F.col("h").startswith("00"), 1))).collect()
+    cpu = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(0, (N_PER // 4) * cores, 1, cores).select(
+        (F.col("id") % 100000).alias("k")
+    ).repartition(cores, "k").groupBy("k").agg(F.count("*")).agg(F.count("*")).collect()
+    shuf = time.perf_counter() - t0
+    print(json.dumps({"cpu": round(cpu, 2), "shuffle": round(shuf, 2)}))
+""")
+
+
+def spark_probe(level: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _SPARK_SCRIPT, str(level)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads([ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1])
+
+
+def main() -> None:
+    levels = [int(x) for x in sys.argv[1:]] or [4, 8, 16, 32]
+    results = []
+    for lv in levels:
+        raw = raw_python(lv)
+        sp = spark_probe(lv)
+        row = {"level": lv, "raw_python_sec": round(raw, 2),
+               "spark_cpu_sec": sp["cpu"], "spark_shuffle_sec": sp["shuffle"]}
+        results.append(row)
+        print(json.dumps(row))
+    base = results[0]
+    for r in results[1:]:
+        for k in ("raw_python_sec", "spark_cpu_sec", "spark_shuffle_sec"):
+            # flat-wall workload: efficiency = wall_base / wall_level
+            r[f"eff_{k}"] = round(base[k] / r[k], 3)
+        print(json.dumps({"level": r["level"],
+                          **{k: v for k, v in r.items() if k.startswith("eff_")}}))
+
+
+if __name__ == "__main__":
+    main()
