@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qctx_chunks": api.qctx_chunks,
         "qctx_top_media": api.qctx_top_media,
         "entity_vdb_topk": api.entity_vdb_topk,
+        "qctx_seeds_vdb": api.qctx_seeds_vdb,
         # training-data pipeline: dedup / similarity / text analysis
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
         "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "qctx_chunks": oracle.qctx_chunks_sql(),
         "qctx_top_media": oracle.top_media_sql(),
         "entity_vdb_topk": oracle.entity_vdb_topk_sql(),
+        "qctx_seeds_vdb": oracle.qctx_seeds_vdb_sql(),
         "dup_exact": oracle_extra.dup_exact_sql(),
         "dup_minhash": oracle_extra.dup_minhash_sql(),
         "dup_simhash": oracle_extra.dup_simhash_sql(),

@@ -203,6 +203,13 @@ def entity_vdb_topk(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFA
     )
 
 
+def qctx_seeds_vdb(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    return query_ctx.seed_entities_vdb(
+        nodes(spark, sf_dir, cfg), edges(spark, sf_dir, cfg),
+        cfg.qctx_query, cfg.qctx_k, cfg=cfg,
+    )
+
+
 def mm_decode(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     from .operators import multimodal
 

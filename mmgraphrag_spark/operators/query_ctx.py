@@ -190,6 +190,31 @@ def one_hop_entities(nodes: DataFrame, edges: DataFrame, query: str, k: int = 5)
     )
 
 
+def seed_entities_vdb(
+    nodes: DataFrame, edges: DataFrame, query: str, k: int = 5,
+    threshold: float = 0.2, cfg=None,
+) -> DataFrame:
+    """J7 via the entity VDB (the reference's actual seeding path,
+    query.py:327-340: entities_vdb.query(top_k) -> get_node + node_degree):
+    thresholded vector top-k over name+description embeddings, then node
+    attrs + degree join. rnk = the VDB ranking (not the degree re-sort; the
+    reference keeps vdb order for node_datas)."""
+    from ..config import DEFAULT
+    from .entity_vdb import entity_vdb_topk
+
+    hits = entity_vdb_topk(nodes, query, k=k, threshold=threshold, cfg=cfg or DEFAULT)
+    deg = degrees(edges)
+    return (
+        hits.join(nodes.select("entity_name", "entity_type"), "entity_name")
+        .join(deg, "entity_name", "left")
+        .select(
+            "entity_name", "entity_type",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # context rendering — the reference's actual query deliverable
 # ---------------------------------------------------------------------------

@@ -771,6 +771,36 @@ SELECT id, entity_name, rank_key, rnk FROM (
 """
 
 
+def qctx_seeds_vdb_sql(
+    cfg: PipelineConfig = DEFAULT, k: int = 5, threshold: float = 0.2,
+) -> str:
+    """Vector-seeded qctx twin: entity_vdb top-k joined to node attrs +
+    degrees (query_ctx.seed_entities_vdb)."""
+    base = entity_vdb_topk_sql(cfg, k=k, threshold=threshold)
+    # strip the final SELECT, keep the CTE chain + gated, re-select with joins
+    head, _, _ = base.rpartition("SELECT id, entity_name, rank_key, rnk FROM (")
+    return head + f"""
+, vdb_hits AS (
+  SELECT id, entity_name, rank_key, rnk FROM (
+    SELECT *, row_number() OVER (ORDER BY rank_key DESC, entity_name ASC) AS rnk
+    FROM gated
+  ) t WHERE rnk <= {k}
+),
+deg2 AS (
+  SELECT entity_name, count(*) AS degree FROM (
+    SELECT src AS entity_name FROM edges
+    UNION ALL SELECT dst AS entity_name FROM edges
+  ) u GROUP BY 1
+)
+SELECT h.entity_name, n.entity_type,
+       CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+       CAST(h.rnk AS BIGINT) AS rnk
+FROM vdb_hits h
+JOIN nodes n USING (entity_name)
+LEFT JOIN deg2 d USING (entity_name)
+"""
+
+
 def mm_decode_select() -> str:
     return """
 SELECT media_ref,

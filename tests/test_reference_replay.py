@@ -247,3 +247,23 @@ def test_merge_rewiring_matches_merged_goldens(spark, prev_img, img):
         f"merged_{img} edge P/R {p_e:.3f}/{r_e:.3f} "
         f"only-mine={sorted(got_edges - me)[:6]} only-gold={sorted(me - got_edges)[:6]}"
     )
+
+
+def test_distributed_graphml_export_equals_driver_export(replayed, spark, tmp_path):
+    """S6 scale path: executor-side XML fragments + assembly produce the same
+    graph (node/edge sets and attributes) as the driver-side exporter."""
+    _, _, _, nodes_df, edges_df = replayed
+    one_n = nodes_df.filter(F.col("doc_id") == "image_3").drop("doc_id")
+    one_e = edges_df.filter(F.col("doc_id") == "image_3").drop("doc_id")
+    frag_dir = str(tmp_path / "dist")
+    out = str(tmp_path / "assembled.graphml")
+    graphml.export_graphml_distributed(one_n, one_e, frag_dir)
+    graphml.assemble_graphml(frag_dir, out)
+    ref = str(tmp_path / "driver.graphml")
+    graphml.export_graphml(one_n, one_e, ref)
+    n1, e1 = graphml.read_graphml(out)
+    n2, e2 = graphml.read_graphml(ref)
+    key_n = lambda n: tuple(sorted(n.items()))
+    assert sorted(map(key_n, n1)) == sorted(map(key_n, n2))
+    key_e = lambda e: tuple(sorted((k, v) for k, v in e.items()))
+    assert sorted(map(key_e, e1)) == sorted(map(key_e, e2))
