@@ -20,6 +20,7 @@ Usage: python tools/hostprobe.py [levels...]  (default: 4 8 16 32)
 from __future__ import annotations
 
 import json
+import os
 import multiprocessing as mp
 import subprocess
 import sys
@@ -36,10 +37,33 @@ def _burn(n: int) -> int:
     return x
 
 
+def _memcopy(mb: int) -> int:
+    """Memory-bandwidth-bound worker: repeated large-buffer copies. The
+    KG pipeline's string-heavy stages (decode/canonicalize) are bandwidth-
+    bound, so THIS is the ceiling that predicts their local[N] scaling —
+    one memory bus is shared by all threads, unlike a real executor
+    scale-out."""
+    import numpy as np
+
+    a = np.ones(mb * 1024 * 128, dtype=np.int64)  # mb megabytes
+    s = 0
+    for _ in range(4):
+        b = a.copy()
+        s += int(b[0])
+    return s
+
+
 def raw_python(level: int) -> float:
     t0 = time.perf_counter()
     with mp.Pool(level) as p:
         p.map(_burn, [_BURN_N] * level)
+    return time.perf_counter() - t0
+
+
+def mem_bandwidth(level: int) -> float:
+    t0 = time.perf_counter()
+    with mp.Pool(level) as p:
+        p.map(_memcopy, [128] * level)
     return time.perf_counter() - t0
 
 
@@ -77,21 +101,31 @@ def spark_probe(level: int) -> dict:
 
 def main() -> None:
     levels = [int(x) for x in sys.argv[1:]] or [4, 8, 16, 32]
-    results = []
-    for lv in levels:
-        raw = raw_python(lv)
-        sp = spark_probe(lv)
-        row = {"level": lv, "raw_python_sec": round(raw, 2),
-               "spark_cpu_sec": sp["cpu"], "spark_shuffle_sec": sp["shuffle"]}
-        results.append(row)
-        print(json.dumps(row))
+    rounds = int(os.environ.get("HOSTPROBE_ROUNDS", "3"))
+    best: dict[int, dict] = {}
+    for _ in range(rounds):  # level-alternating, min-of-rounds (noisy host)
+        for lv in levels:
+            raw = raw_python(lv)
+            mem = mem_bandwidth(lv)
+            sp = spark_probe(lv)
+            row = {"level": lv, "raw_python_sec": round(raw, 2),
+                   "mem_bw_sec": round(mem, 2),
+                   "spark_cpu_sec": sp["cpu"], "spark_shuffle_sec": sp["shuffle"]}
+            print(json.dumps({"round_sample": row}), flush=True)
+            b = best.setdefault(lv, row)
+            for k, v in row.items():
+                if k != "level" and v < b[k]:
+                    b[k] = v
+    results = [best[lv] for lv in levels]
+    for r in results:
+        print(json.dumps(r))
     base = results[0]
     for r in results[1:]:
-        for k in ("raw_python_sec", "spark_cpu_sec", "spark_shuffle_sec"):
+        eff = {}
+        for k in ("raw_python_sec", "mem_bw_sec", "spark_cpu_sec", "spark_shuffle_sec"):
             # flat-wall workload: efficiency = wall_base / wall_level
-            r[f"eff_{k}"] = round(base[k] / r[k], 3)
-        print(json.dumps({"level": r["level"],
-                          **{k: v for k, v in r.items() if k.startswith("eff_")}}))
+            eff[f"eff_{k}"] = round(base[k] / r[k], 3)
+        print(json.dumps({"level": r["level"], **eff}))
 
 
 if __name__ == "__main__":
