@@ -41,19 +41,25 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cores)
 
-    # Untimed warm-up: spin up the Python worker pool (each local worker
-    # imports pandas on first use — a fixed ~1s/worker startup cost a
-    # long-lived cluster pays once, not per job) and JIT the codegen paths.
-    warm = spark.range(0, cores * 4, 1, cores).mapInPandas(
-        lambda it: (pdf for pdf in it), schema="id long"
-    )
-    warm.groupBy("id").count().count()
-
     # checkpoints on tmpfs: the sandbox block device has intermittent
     # multi-second file-create latency (see session.py note)
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="kgbench_", dir=tmp_root)
     try:
+        # Untimed warm-up: run the WHOLE pipeline once over a small slice of
+        # the same input. This spins up the Python worker pool, JIT-compiles
+        # every whole-stage-codegen path and regex the timed run will hit,
+        # and primes the parquet reader. A long-lived cluster pays all of
+        # that exactly once at deploy time, not per job — measured here:
+        # cold decode 20-45 s vs 6-18 s warm at identical data/parallelism,
+        # a fixed cost that otherwise swamps the two-level scaling signal.
+        warm_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1000)
+        warm_dir = os.path.join(work, "_warm")
+        warm_docs.coalesce(4).write.parquet(f"{warm_dir}/documents.parquet")
+        Pipeline(spark, warm_dir, os.path.join(work, "_warm_out")).run(resume=False)
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(work, "_warm_out"), ignore_errors=True)
+
         pipe = Pipeline(spark, sf_dir, work)
         t0 = time.perf_counter()
         pipe.run(resume=False)

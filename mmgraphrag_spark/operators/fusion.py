@@ -369,7 +369,14 @@ def fusion_blocks(
     # plain equi-join on surface: AQE broadcasts the vocab side while it is
     # small and falls back to a shuffled join at web-corpus vocabulary sizes
     both = both.join(dense, "surface")
-    return both.repartition("media_ref").groupBy("media_ref").applyInPandas(
+    # explicit partition count: the per-block numpy work is row-compute-bound,
+    # not byte-bound, so AQE's byte-based coalescing misjudges it (measured:
+    # coalesced to 10 tasks with an 18.9 s straggler at local[32]). 4x the
+    # cluster parallelism gives the scheduler slack to smooth block skew;
+    # HashPartitioning(media_ref, N) already satisfies the groupBy's
+    # distribution requirement, so no second exchange is inserted.
+    nparts = 4 * both.sparkSession.sparkContext.defaultParallelism
+    return both.repartition(nparts, "media_ref").groupBy("media_ref").applyInPandas(
         lambda pdf: _fuse_block(pdf, eps, merge_t2, cluster_t2, dims, knn),
         schema=FUSION_SCHEMA,
     )

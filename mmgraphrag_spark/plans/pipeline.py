@@ -43,6 +43,8 @@ class Pipeline:
     work_dir: str
     cfg: PipelineConfig = field(default_factory=lambda: DEFAULT)
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    _metrics_buf: list = field(default_factory=list, repr=False)
+    _lineage_buf: list = field(default_factory=list, repr=False)
 
     # ---- storage helpers ----------------------------------------------------
 
@@ -87,29 +89,62 @@ class Pipeline:
             (i, pq.ParquetFile(str(f)).metadata.num_rows, table, self.run_id)
             for i, f in enumerate(files)
         ] or [(0, 0, table, self.run_id)]
-        self.spark.createDataFrame(
-            per_part, "partition_id int, rows long, stage string, run_id string"
-        ).coalesce(1).write.mode("append").parquet(self._path("_metrics"))
+        self._metrics_buf.extend(per_part)
         return sum(n for _, n, _, _ in per_part)
 
     def _log_lineage(self, stage: str, outputs: dict[str, int],
                      inputs: list[str], wall_ms: int) -> None:
-        rows = [
+        self._lineage_buf.extend(
             (self.run_id, stage, table, n, ",".join(inputs), wall_ms,
              time.strftime("%Y-%m-%dT%H:%M:%S"))
             for table, n in outputs.items()
-        ]
-        self.spark.createDataFrame(
-            rows,
-            "run_id string, stage string, output string, rows_out long,"
-            " inputs string, wall_ms long, started_at string",
-        ).write.mode("append").parquet(self._path("_lineage"))
+        )
+
+    # lineage/metrics are driver-side metadata (a few KB per run): buffered
+    # and flushed as ONE pyarrow file per table per run. The earlier
+    # createDataFrame(...).coalesce(1).write per stage cost a single-task
+    # Spark job each — measured 4-6 s apiece on this host, ~60 s of serial
+    # wall across the 8-stage pipeline, the dominant anti-scaling term.
+    def _flush_meta(self) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._metrics_buf:
+            t = pa.table(
+                dict(zip(("partition_id", "rows", "stage", "run_id"),
+                         zip(*self._metrics_buf))),
+                schema=pa.schema([
+                    ("partition_id", pa.int32()), ("rows", pa.int64()),
+                    ("stage", pa.string()), ("run_id", pa.string()),
+                ]),
+            )
+            d = Path(self._path("_metrics")); d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(t, d / f"part-{self.run_id}-{uuid.uuid4().hex[:8]}.parquet")
+            self._metrics_buf.clear()
+        if self._lineage_buf:
+            t = pa.table(
+                dict(zip(
+                    ("run_id", "stage", "output", "rows_out", "inputs",
+                     "wall_ms", "started_at"),
+                    zip(*self._lineage_buf))),
+                schema=pa.schema([
+                    ("run_id", pa.string()), ("stage", pa.string()),
+                    ("output", pa.string()), ("rows_out", pa.int64()),
+                    ("inputs", pa.string()), ("wall_ms", pa.int64()),
+                    ("started_at", pa.string()),
+                ]),
+            )
+            d = Path(self._path("_lineage")); d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(t, d / f"part-{self.run_id}-{uuid.uuid4().hex[:8]}.parquet")
+            self._lineage_buf.clear()
 
     def lineage(self) -> DataFrame:
-        return self.read("_lineage")
+        self._flush_meta()
+        return self.read("_lineage", spread=False)
 
     def metrics(self) -> DataFrame:
-        return self.read("_metrics")
+        self._flush_meta()
+        return self.read("_metrics", spread=False)
 
     # ---- stages -------------------------------------------------------------
 
@@ -119,6 +154,7 @@ class Pipeline:
         if resume and all(self._complete(t) for t in outputs):
             return False
         t0 = time.perf_counter()
+        self.spark.sparkContext.setJobDescription(f"stage:{name}")
         produced = fn()  # dict[table -> DataFrame]
         cleanup = produced.pop("__cleanup__", None)
         counts = {t: self._write(df, t) for t, df in produced.items()}
@@ -127,31 +163,38 @@ class Pipeline:
         self._log_lineage(name, counts, inputs, int((time.perf_counter() - t0) * 1000))
         return True
 
-    def run(self, resume: bool = True) -> dict[str, bool]:
-        ran: dict[str, bool] = {}
+    def run(self, resume: bool = True, parallel: bool = True) -> dict[str, bool]:
+        """Execute the stage DAG.
+
+        ``parallel=True`` submits independent stages concurrently from worker
+        threads (Spark's scheduler interleaves their jobs across the same
+        executors — the standard way to keep a cluster busy through stage
+        tails; e.g. the media/fusion branch overlaps the chunk/extract/decode
+        chain). Checkpoint edges make this safe: a stage only starts when
+        every dependency stage has COMMITTED its parquet outputs.
+        """
         cfg = self.cfg
 
-        ran["spans"] = self._stage(
-            "spans", [f"{self.sf_dir}/documents.parquet"], ["spans"],
-            lambda: {"spans": synth.flat_spans(self.spark, self.sf_dir, cfg)},
-            resume,
-        )
+        def _spans():
+            # source table may be a single small file (one scan split) while
+            # the explode multiplies rows ~5x — spread the scan up to compute
+            # parallelism so the span derivation + write use every core.
+            # No-op at production scale (scans already yield many splits).
+            docs = self.spark.read.parquet(f"{self.sf_dir}/documents.parquet")
+            want = self.spark.sparkContext.defaultParallelism
+            if docs.rdd.getNumPartitions() < want:
+                docs = docs.repartition(want)
+            return {"spans": synth.spans_from_docs(docs, cfg)}
 
-        ran["chunks"] = self._stage(
-            "chunks", ["spans"], ["chunks"],
-            lambda: {"chunks": chunker.chunk_docs(synth.nest_spans(self.read("spans")), cfg)},
-            resume,
-        )
+        def _chunks():
+            return {"chunks": chunker.chunk_docs(synth.nest_spans(self.read("spans")), cfg)}
 
         # raw grammar strings get their own checkpoint: (a) the expensive
         # Python stage (LLM in production) runs exactly once even though two
         # outputs derive from it, (b) it doubles as the extraction journal /
         # response cache (reference E6 text2graph.py:318-319, J10 llm.py:34-49)
-        ran["extract_raw"] = self._stage(
-            "extract_raw", ["chunks"], ["extraction_raw"],
-            lambda: {"extraction_raw": extractor.extract_raw(self.read("chunks"), cfg=cfg)},
-            resume,
-        )
+        def _extract_raw():
+            return {"extraction_raw": extractor.extract_raw(self.read("chunks"), cfg=cfg)}
 
         # mentions and triples decode from ONE parse: the exploded-fields
         # relation is persisted in executor memory for the stage's two writes
@@ -167,20 +210,12 @@ class Pipeline:
                 "__cleanup__": lambda: parsed.unpersist(),
             }
 
-        ran["decode"] = self._stage(
-            "decode", ["extraction_raw"], ["mentions", "triples"], _decode, resume
-        )
-
         def _media():
             med = media.media_spans(self.read("spans"))
             return {
                 "img_mentions": media.image_mentions(med, cfg),
                 "img_triples": media.image_triples(med, cfg),
             }
-
-        ran["media"] = self._stage(
-            "media", ["spans"], ["img_mentions", "img_triples"], _media, resume
-        )
 
         def _graph():
             cols_m = ["entity_name", "entity_type", "description", "source_id"]
@@ -197,11 +232,6 @@ class Pipeline:
             edges = canon.build_edges(all_t)
             return {"nodes": canon.add_stub_nodes(nodes, edges), "edges": edges}
 
-        ran["graph"] = self._stage(
-            "graph", ["mentions", "triples", "img_mentions", "img_triples"],
-            ["nodes", "edges"], _graph, resume,
-        )
-
         def _fusion():
             sp = self.read("spans")
             med = media.media_spans(sp)
@@ -210,10 +240,6 @@ class Pipeline:
                     sp, med, self.read("img_mentions"), cfg
                 )
             }
-
-        ran["fusion"] = self._stage(
-            "fusion", ["spans", "img_mentions"], ["fusion_blocks"], _fusion, resume
-        )
 
         def _fused_graph():
             cols_m = ["entity_name", "entity_type", "description", "source_id"]
@@ -230,9 +256,47 @@ class Pipeline:
             nodes, edges = fusion.fuse_graph(all_m, all_t, mm)
             return {"fused_nodes": nodes, "fused_edges": edges}
 
-        ran["fused_graph"] = self._stage(
-            "fused_graph",
-            ["mentions", "triples", "img_mentions", "img_triples", "fusion_blocks"],
-            ["fused_nodes", "fused_edges"], _fused_graph, resume,
-        )
+        # name -> (dep stages, lineage inputs, output tables, builder)
+        dag: dict[str, tuple[list[str], list[str], list[str], object]] = {
+            "spans": ([], [f"{self.sf_dir}/documents.parquet"], ["spans"], _spans),
+            "chunks": (["spans"], ["spans"], ["chunks"], _chunks),
+            "extract_raw": (["chunks"], ["chunks"], ["extraction_raw"], _extract_raw),
+            "decode": (["extract_raw"], ["extraction_raw"],
+                       ["mentions", "triples"], _decode),
+            "media": (["spans"], ["spans"], ["img_mentions", "img_triples"], _media),
+            "graph": (["decode", "media"],
+                      ["mentions", "triples", "img_mentions", "img_triples"],
+                      ["nodes", "edges"], _graph),
+            "fusion": (["spans", "media"], ["spans", "img_mentions"],
+                       ["fusion_blocks"], _fusion),
+            "fused_graph": (["decode", "media", "fusion"],
+                            ["mentions", "triples", "img_mentions",
+                             "img_triples", "fusion_blocks"],
+                            ["fused_nodes", "fused_edges"], _fused_graph),
+        }
+
+        ran: dict[str, bool] = {}
+        if not parallel:
+            for name, (_, inputs, outputs, fn) in dag.items():  # topo order
+                ran[name] = self._stage(name, inputs, outputs, fn, resume)
+        else:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(max_workers=3) as pool:
+                futures: dict[cf.Future, str] = {}
+                pending = dict(dag)
+                while pending or futures:
+                    for name in list(pending):
+                        deps, inputs, outputs, fn = pending[name]
+                        if all(d in ran for d in deps):
+                            futures[pool.submit(
+                                self._stage, name, inputs, outputs, fn, resume
+                            )] = name
+                            del pending[name]
+                    done, _ = cf.wait(
+                        set(futures), return_when=cf.FIRST_COMPLETED
+                    )
+                    for fut in done:
+                        ran[futures.pop(fut)] = fut.result()  # re-raises
+        self._flush_meta()
         return ran

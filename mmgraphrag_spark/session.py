@@ -71,6 +71,11 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    evlog = os.environ.get("SPARK_GRAFT_EVLOG")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", evlog))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
