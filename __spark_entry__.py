@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_embedding": lambda s, d: dedup.embedding_near_duplicates(s, d),
         "ann_topk": lambda s, d: similarity.ann_bruteforce_topk(s, d),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(s, d),
+        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(s, d),
         "text_token_stats": lambda s, d: textstats.token_stats(dedup.docs_table(s, d)),
         "text_quality": lambda s, d: textstats.quality_scores(dedup.docs_table(s, d)),
         "text_langid": lambda s, d: textstats.language_id(dedup.docs_table(s, d)),
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_embedding": oracle_extra.dup_embedding_sql(),
         "ann_topk": oracle_extra.ann_topk_sql(),
         "ann_lsh_topk": oracle_extra.ann_lsh_topk_sql(),
+        "ann_ivf_topk": oracle_extra.ann_ivf_topk_sql(),
         "text_token_stats": oracle_extra.token_stats_sql(),
         "text_quality": oracle_extra.quality_sql(),
         "text_langid": oracle_extra.langid_sql(),

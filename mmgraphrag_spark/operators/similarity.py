@@ -156,3 +156,121 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "dot", "rank_key", "rnk")
     )
+
+
+# ---- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def ivf_centroids(qe: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """(cent_id, cv, cn): deterministic coarse quantizer.
+
+    Centroid seeds = the ``n_centroids`` vectors with smallest
+    md5(vec_id) — a pseudo-random but engine-portable sample (DuckDB
+    computes the identical set). Selection is a distributed top-K
+    (TakeOrderedAndProject — no global sort materializes); only the K
+    surviving rows see a window. Production swap point: refine these seeds
+    with k-means|| (pyspark.ml.clustering.KMeans) — every downstream shape
+    below is unchanged, the quantizer is pluggable data.
+    """
+    seeds = (
+        qe.select(
+            F.md5(F.col("vec_id").cast("string")).alias("mk"), "vec_id", "q", "n"
+        )
+        .orderBy("mk", "vec_id")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("mk", "vec_id")
+    return seeds.withColumn("cent_id", F.row_number().over(w)).select(
+        "cent_id", F.col("q").alias("cv"), F.col("n").alias("cn")
+    )
+
+
+def _rank_against_centroids(vecs: DataFrame, cents: DataFrame, dims: int) -> DataFrame:
+    """vec x centroid exact-integer cosine rank (broadcast cross join: K is
+    small by construction; n·K rows, linear in corpus size)."""
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dot", _flat_dot("q", "cv", dims))
+        .withColumn("na", F.col("n"))
+        .withColumn("nb", F.col("cn"))
+        .withColumn("rank_key", F.expr(_RANK))
+    )
+
+
+def ivf_assign(qe: DataFrame, cents: DataFrame, dims: int) -> DataFrame:
+    """(vec_id, cent_id): each vector -> its nearest centroid list.
+
+    Argmax by (rank_key desc, cent_id asc) as a map-side partial aggregation
+    (max over an ordered struct), NOT a window: the n·K cross-join output is
+    already partitioned by the scan, so the agg collapses K rows per vector
+    before any exchange — at 100 TB this is the difference between shuffling
+    n·K rows and shuffling n.
+    """
+    ranked = _rank_against_centroids(qe, cents, dims)
+    return (
+        ranked.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("rank_key"), (-F.col("cent_id")).alias("nc"))
+            ).alias("best")
+        )
+        .select("vec_id", (-F.col("best.nc")).alias("cent_id"))
+    )
+
+
+def ann_ivf_topk(
+    spark, sf_dir: str, k: int = 5, n_queries: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+) -> DataFrame:
+    """(qid, cid, dot, rank_key, rnk): IVF top-k — the partition-pruned path.
+
+    Classic inverted-file search: vectors are bucketed by nearest centroid;
+    a query scores only the vectors in its ``nprobe`` nearest lists, so the
+    scored fraction is ~nprobe/n_centroids of the corpus. All joins are equi
+    on cent_id (shuffle-bounded, AQE-skew-safe). With nprobe == n_centroids
+    every list is probed and the result equals brute force exactly
+    (unit-tested); smaller nprobe trades recall for a proportional scan cut.
+    """
+    dims = embedding_dims(spark, sf_dir)
+    qe = quantized_embeddings(spark, sf_dir)
+    cents = ivf_centroids(qe, n_centroids)
+    assign = ivf_assign(qe, cents, dims)
+
+    queries = qe.filter(F.col("vec_id") < n_queries)
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.desc("rank_key"), F.asc("cent_id")
+    )
+    probe = (
+        _rank_against_centroids(queries, cents, dims)
+        .withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), "cent_id")
+    )
+
+    cand = (
+        assign.withColumnRenamed("vec_id", "cid")
+        .join(F.broadcast(probe), "cent_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    base = quantized_embeddings(spark, sf_dir)
+    pairs = (
+        cand.join(
+            base.select(F.col("vec_id").alias("qid"), F.col("q").alias("qv"),
+                        F.col("n").alias("na")),
+            "qid",
+        )
+        .join(
+            base.select(F.col("vec_id").alias("cid"), F.col("q").alias("cv"),
+                        F.col("n").alias("nb")),
+            "cid",
+        )
+        .withColumn("dot", _flat_dot("qv", "cv", dims))
+        .withColumn("rank_key", F.expr(_RANK))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rank_key"), F.asc("cid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "dot", "rank_key", "rnk")
+    )

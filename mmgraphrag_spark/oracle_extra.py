@@ -294,3 +294,56 @@ SELECT doc_id, md5(text) AS doc_md5,
                  for j in range(greatest(len(w) - {window}, 0) + 1)]) AS winnow
 FROM d
 """
+
+
+def ann_ivf_topk_sql(
+    k: int = 5, n_queries: int = 10, n_centroids: int = 16, nprobe: int = 4
+) -> str:
+    """Twin of similarity.ann_ivf_topk: md5-seeded centroids, argmax list
+    assignment, nprobe-list probing, exact integer scoring."""
+    dot_vc = _dot_expr("v.q", "c.cv")
+    dot = _dot_expr("qq.q", "cc.q")
+    rank = _RANK_SQL.format(dot="dot")
+    return f"""
+WITH {_QE},
+cents AS (
+  SELECT row_number() OVER (ORDER BY mk, vec_id) AS cent_id, q AS cv, n AS cn
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS mk, vec_id, q, n FROM qn
+        ORDER BY mk, vec_id LIMIT {n_centroids}) seeds
+),
+arank AS (
+  SELECT v.vec_id, c.cent_id, {dot_vc} AS dot, v.n AS na, c.cn AS nb
+  FROM qn v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {rank} DESC, cent_id ASC) AS rn
+    FROM arank) t WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS qid, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {rank} DESC, cent_id ASC) AS rn
+    FROM arank WHERE vec_id < {n_queries}) t WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS cid
+  FROM probe p JOIN assign a ON a.cent_id = p.cent_id
+  WHERE p.qid <> a.vec_id
+),
+pairs AS (
+  SELECT cand.qid, cand.cid, {dot} AS dot, qq.n AS na, cc.n AS nb
+  FROM cand JOIN qn qq ON qq.vec_id = cand.qid
+            JOIN qn cc ON cc.vec_id = cand.cid
+),
+ranked AS (
+  SELECT qid, cid, dot, {rank} AS rank_key,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY {rank} DESC, cid ASC) AS rnk
+  FROM pairs
+)
+SELECT qid, cid, dot, rank_key, rnk FROM ranked WHERE rnk <= {k}
+"""

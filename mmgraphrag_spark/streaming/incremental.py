@@ -118,3 +118,68 @@ def stream_extract(
         .trigger(availableNow=True)
         .start()
     )
+
+
+MENTIONS_SCHEMA = (
+    "doc_id string, chunk_id string, entity_name string, entity_type string,"
+    " description string, source_id string"
+)
+
+
+def stream_entity_counts(spark: SparkSession, mentions_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-entity mention totals over a stream of mention rows.
+
+    State per entity_name = one bounded counter tuple — survives micro-batch
+    boundaries AND query restarts via the checkpointed state store (tested:
+    a second AvailableNow run over new files resumes the totals). This is
+    the §2.11 building block the batch reference lacks: canonicalization
+    (A1/A5 degree-style totals) as a continuously-updated view instead of a
+    batch rebuild.
+
+    Output mode must be ``update``; attach a sink downstream, e.g.::
+
+        q = stream_entity_counts(spark, d).writeStream.format("memory")...
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_counts(key, pdfs, state: GroupState):
+        n = 0
+        chunk_ids: set = set()  # bounded by the micro-batch, not the stream
+        for pdf in pdfs:
+            n += len(pdf)
+            chunk_ids.update(pdf["chunk_id"])
+        if state.exists:
+            prev_n, prev_c = state.get
+        else:
+            prev_n, prev_c = 0, 0
+        total_n, total_c = prev_n + n, prev_c + len(chunk_ids)
+        state.update((total_n, total_c))
+        yield pd.DataFrame(
+            {"entity_name": [key[0]], "mentions": [total_n],
+             "chunk_appearances": [total_c]}
+        )
+
+    stream = spark.readStream.schema(MENTIONS_SCHEMA).parquet(mentions_dir)
+    return stream.groupBy("entity_name").applyInPandasWithState(
+        update_counts,
+        outputStructType="entity_name string, mentions long, chunk_appearances long",
+        stateStructType="mentions long, chunk_appearances long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_entity_counts(spark: SparkSession, mentions_dir: str) -> DataFrame:
+    """Batch twin of stream_entity_counts (yardstick; chunk_appearances is
+    per-batch-distinct in the stream, so equality holds when each chunk's
+    mentions arrive within one micro-batch — true for file-per-batch feeds)."""
+    return (
+        spark.read.parquet(mentions_dir)
+        .groupBy("entity_name")
+        .agg(
+            F.count(F.lit(1)).alias("mentions"),
+            F.countDistinct("chunk_id").alias("chunk_appearances"),
+        )
+    )

@@ -129,3 +129,49 @@ def test_embedding_dedup_plan_has_no_nested_loop_join(spark):
     plan = dedup.embedding_near_duplicates(spark, SF_TINY)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_with_full_probe_equals_bruteforce(spark):
+    """nprobe == n_centroids probes every list -> candidates are the whole
+    corpus -> IVF must reproduce brute force EXACTLY (same integer ranks,
+    same tie-breaks)."""
+    sf = SF_TINY
+    bf = similarity.ann_bruteforce_topk(spark, sf, k=5, n_queries=6)
+    ivf = similarity.ann_ivf_topk(
+        spark, sf, k=5, n_queries=6, n_centroids=8, nprobe=8
+    )
+    b = sorted(map(tuple, bf.collect()))
+    v = sorted(map(tuple, ivf.collect()))
+    assert b == v
+
+
+def test_ivf_pruned_probe_is_subset_with_recall(spark):
+    """nprobe < n_centroids returns only true (exactly-scored) neighbors from
+    the probed lists; recall vs brute force stays useful."""
+    sf = SF_TINY
+    bf = similarity.ann_bruteforce_topk(spark, sf, k=5, n_queries=6)
+    ivf = similarity.ann_ivf_topk(
+        spark, sf, k=5, n_queries=6, n_centroids=8, nprobe=4
+    )
+    bf_pairs = {(r.qid, r.cid): r.rank_key for r in bf.collect()}
+    ivf_rows = ivf.collect()
+    # every IVF hit carries the exact brute-force rank_key when it IS a
+    # brute-force hit (scoring is exact; only candidate coverage differs)
+    for r in ivf_rows:
+        if (r.qid, r.cid) in bf_pairs:
+            assert bf_pairs[(r.qid, r.cid)] == r.rank_key
+    recall = len(set(bf_pairs) & {(r.qid, r.cid) for r in ivf_rows}) / len(bf_pairs)
+    assert recall >= 0.3, recall
+
+
+def test_ivf_assignment_covers_corpus_once(spark):
+    """Every vector lands in exactly one inverted list."""
+    from mmgraphrag_spark.operators.dedup import embedding_dims, quantized_embeddings
+
+    qe = quantized_embeddings(spark, SF_TINY)
+    cents = similarity.ivf_centroids(qe, 8)
+    assign = similarity.ivf_assign(qe, cents, embedding_dims(spark, SF_TINY))
+    n = qe.count()
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+    assert assign.select("cent_id").distinct().count() <= 8

@@ -64,3 +64,22 @@ def test_lineage_and_metrics_rows(pipe):
     per_stage = lin.drop_duplicates("output").set_index("output")["rows_out"]
     for stage in ["spans", "chunks", "mentions", "triples"]:
         assert got[stage] == per_stage[stage]
+
+
+def test_parallel_dag_equals_sequential(spark, tmp_path):
+    """Concurrent stage submission must produce byte-identical tables to the
+    sequential topo order (checkpoint edges make scheduling invisible)."""
+    from mmgraphrag_spark.plans.pipeline import Pipeline
+
+    p_par = Pipeline(spark, SF_TINY, str(tmp_path / "par"))
+    p_seq = Pipeline(spark, SF_TINY, str(tmp_path / "seq"))
+    ran_par = p_par.run(resume=False, parallel=True)
+    ran_seq = p_seq.run(resume=False, parallel=False)
+    assert ran_par == ran_seq
+    for table in ["spans", "chunks", "mentions", "triples", "img_mentions",
+                  "nodes", "edges", "fused_nodes", "fused_edges"]:
+        a = p_par.read(table, spread=False)
+        b = p_seq.read(table, spread=False)
+        assert a.count() == b.count(), table
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table

@@ -6,6 +6,8 @@ import shutil
 
 from conftest import SF_TINY
 
+from pyspark.sql import functions as F
+
 from mmgraphrag_spark import api
 from mmgraphrag_spark.streaming import incremental
 
@@ -106,3 +108,66 @@ def test_resent_docs_cost_zero_extractor_work(spark, tmp_path):
     assert spark.read.parquet(f"{out}/mentions").count() == n1
     assert spark.read.parquet(f"{out}/raw_cache").count() == cache1
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stateful_entity_counts_stream_equals_batch_and_resumes(spark, tmp_path):
+    """applyInPandasWithState: running totals match the batch groupBy, and a
+    SECOND AvailableNow run over newly-arrived files resumes from the
+    checkpointed state store instead of recounting from zero."""
+    src = str(tmp_path / "mentions_src")
+    ckpt = str(tmp_path / "ckpt")
+
+    mentions = api.mentions(spark, SF_TINY).select(
+        "doc_id", "chunk_id", "entity_name", "entity_type",
+        "description", "source_id",
+    )
+    first = mentions.filter(F.col("doc_id") < F.lit("doc4"))
+    rest = mentions.filter(F.col("doc_id") >= F.lit("doc4"))
+    first.write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "counts_sink")
+
+    def drain(qname):
+        # foreachBatch parquet sink: fault-tolerant, so the SAME checkpoint
+        # can restart the query when new files arrive (memory sink cannot)
+        q = (
+            incremental.stream_entity_counts(spark, src)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # update mode re-emits a key each batch it changes in; keep the max
+        # (monotone counters) as the current value
+        return (
+            spark.read.parquet(sink)
+            .groupBy("entity_name")
+            .agg(F.max("mentions").alias("mentions"),
+                 F.max("chunk_appearances").alias("chunk_appearances"))
+            .toPandas().set_index("entity_name").sort_index()
+        )
+
+    got1 = drain("ent_counts_1")
+    want1 = (
+        incremental.batch_entity_counts(spark, src)
+        .toPandas().set_index("entity_name").sort_index()
+    )
+    assert got1["mentions"].to_dict() == want1["mentions"].to_dict()
+
+    # new files arrive; restart with the same checkpoint -> state resumes
+    rest.write.mode("append").parquet(src)
+    got2 = drain("ent_counts_2")
+    want2 = (
+        incremental.batch_entity_counts(spark, src)
+        .toPandas().set_index("entity_name").sort_index()
+    )
+    # keys present in batch 2's emissions carry cumulative totals; merge with
+    # batch-1 values for keys that did not change in the second run
+    merged = got1.combine_first(got2)
+    merged.update(got2)
+    assert merged["mentions"].to_dict() == want2["mentions"].to_dict()
+    assert merged["chunk_appearances"].to_dict() == want2["chunk_appearances"].to_dict()

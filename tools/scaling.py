@@ -133,7 +133,9 @@ def _probe_levels(levels) -> dict:
     )
     rows = [json.loads(ln) for ln in out.stdout.splitlines()
             if ln.startswith("{") and '"raw_python_sec"' in ln]
-    return {r["level"]: r for r in rows}
+    # hostprobe also prints per-round progress as {"round_sample": {...}};
+    # keep only the final min-of-rounds rows (top-level "level" key)
+    return {r["level"]: r for r in rows if "level" in r}
 
 
 def main() -> None:
