@@ -176,7 +176,7 @@ def main() -> None:
         mem_c = ceiling(lo, hi, "mem_bw_sec")
         cpu_c = ceiling(lo, hi, "spark_cpu_sec")
         e = eff(lo, hi)
-        norm = round(e / mem_c, 3) if mem_c else None
+        norm = round(e / raw_c, 3) if raw_c else None
         rows_md.append(
             f"| {lo}->{hi} | {r_lo['value']} | {r_hi['value']} | "
             f"{r_lo['value']/r_hi['value']:.2f}x | **{e:.3f}** | {raw_c} | "
@@ -228,14 +228,16 @@ mem-bandwidth ceiling, not the ALU one.
 
 ## Pipeline scaling (prescribed pairs)
 
-| pair | wall_lo (s) | wall_hi (s) | speedup | pipeline eff | ALU ceiling | mem-bw ceiling | codegen ceiling | eff / mem-bw ceiling |
+| pair | wall_lo (s) | wall_hi (s) | speedup | pipeline eff | ALU ceiling | mem-bw ceiling | codegen ceiling | eff / ALU ceiling |
 |---|---|---|---|---|---|---|---|---|
 {chr(10).join(rows_md)}
 
 - north_rule target >= 0.8 between N and 4N **executors**; on one host the
-  probes above bound what local[N] can exhibit. The normalized column
-  divides pipeline efficiency by the host's mem-bandwidth ceiling for the
-  pair (the binding one for this string-heavy workload).
+  probes above BRACKET what local[N] can exhibit: the ALU probe is the
+  optimistic ceiling (compute-dense work) and the pure-memcopy probe the
+  pessimistic one (worst-case bandwidth-bound work). The normalized column
+  divides pipeline efficiency by the ALU ceiling; the remaining gap is
+  bandwidth stalls, quantified by the cpu_s-inflation table below.
 - per-stage seconds at 4:  `{json.dumps(r4["queries"])}`
 - per-stage seconds at 16: `{json.dumps(r16["queries"])}`
 - per-stage seconds at 8:  `{json.dumps(r8["queries"])}`
