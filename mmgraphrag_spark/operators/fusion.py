@@ -540,6 +540,18 @@ def fuse_graph(
     # spectral applyInPandas subtree runs once, not per join (the pipeline
     # runner gets the same effect from its checkpoint)
     mm = mm.persist()
+    m2, t2 = fuse_inputs(all_mentions, all_triples, mm)
+    nodes = canon.build_nodes(m2, cfg=cfg)
+    edges = canon.build_edges(t2, cfg=cfg)
+    return canon.add_stub_nodes(nodes, edges), edges
+
+
+def fuse_inputs(
+    all_mentions: DataFrame, all_triples: DataFrame, mm: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Merge-map-rewritten mention/triple relations (the J6 rewiring step
+    alone — callers that checkpoint edges separately re-canonicalize from
+    these without recomputing the other output's aggregation)."""
     m2 = apply_merge_map(all_mentions, mm, ["entity_name"])
     t2 = apply_merge_map(all_triples, mm, ["subj", "obj"])
     t2 = t2.select(
@@ -547,6 +559,4 @@ def fuse_graph(
         F.greatest("subj", "obj").alias("obj"),
         "description", "weight", "source_id", "order",
     )
-    nodes = canon.build_nodes(m2, cfg=cfg)
-    edges = canon.build_edges(t2, cfg=cfg)
-    return canon.add_stub_nodes(nodes, edges), edges
+    return m2, t2

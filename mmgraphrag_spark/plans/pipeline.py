@@ -155,9 +155,15 @@ class Pipeline:
             return False
         t0 = time.perf_counter()
         self.spark.sparkContext.setJobDescription(f"stage:{name}")
-        produced = fn()  # dict[table -> DataFrame]
+        produced = fn()  # dict[table -> DataFrame | callable -> DataFrame]
         cleanup = produced.pop("__cleanup__", None)
-        counts = {t: self._write(df, t) for t, df in produced.items()}
+        # a callable value is resolved only after every table BEFORE it in
+        # dict order has been written — lets a later output derive from an
+        # earlier output's checkpoint instead of recomputing its plan
+        counts = {
+            t: self._write(df() if callable(df) else df, t)
+            for t, df in produced.items()
+        }
         if cleanup is not None:
             cleanup()
         self._log_lineage(name, counts, inputs, int((time.perf_counter() - t0) * 1000))
@@ -228,9 +234,18 @@ class Pipeline:
                 self.read("triples").select(cols_t)
                 .unionByName(self.read("img_triples").select(cols_t))
             )
-            nodes = canon.build_nodes(all_m)
-            edges = canon.build_edges(all_t)
-            return {"nodes": canon.add_stub_nodes(nodes, edges), "edges": edges}
+            # nodes' stub rule consumes edges, so naively the edges
+            # aggregation (the stage's biggest groupBy over the triples
+            # relation) runs in BOTH writes. Write edges first and derive
+            # nodes from the CHECKPOINT — zero recompute, zero cache memory
+            # (at 100 TB, re-aggregating the triple relation twice is the
+            # difference between 1x and 2x the stage's shuffle volume).
+            return {
+                "edges": canon.build_edges(all_t),
+                "nodes": lambda: canon.add_stub_nodes(
+                    canon.build_nodes(all_m), self.read("edges", spread=False)
+                ),
+            }
 
         def _fusion():
             sp = self.read("spans")
@@ -253,8 +268,16 @@ class Pipeline:
                 .unionByName(self.read("img_triples").select(cols_t))
             )
             mm = fusion.merge_map_from_blocks(self.read("fusion_blocks", spread=False))
-            nodes, edges = fusion.fuse_graph(all_m, all_t, mm)
-            return {"fused_nodes": nodes, "fused_edges": edges}
+            m2, t2 = fusion.fuse_inputs(all_m, all_t, mm)
+            # same edges-in-both-writes dedup as the graph stage: fused
+            # nodes derive from the fused_edges CHECKPOINT
+            return {
+                "fused_edges": canon.build_edges(t2),
+                "fused_nodes": lambda: canon.add_stub_nodes(
+                    canon.build_nodes(m2),
+                    self.read("fused_edges", spread=False),
+                ),
+            }
 
         # name -> (dep stages, lineage inputs, output tables, builder)
         dag: dict[str, tuple[list[str], list[str], list[str], object]] = {
