@@ -198,28 +198,48 @@ def extract_raw_with_cache(
     return hits.unionByName(new), new
 
 
-def parse_records(raw: DataFrame) -> DataFrame:
-    """E2/E3: grammar string -> one row per record with parsed fields array.
+def _fstrip(col):
+    """Strip one leading/trailing quote (with adjacent outer whitespace) from
+    a single field — the per-field equivalent of the old whole-record
+    ``(^|(?<=<\\|>))\\s*"|"\\s*($|(?=<\\|>))`` replace, applied lazily at the
+    field-ACCESS site. Anchored two-branch regex over a short field is ~4x
+    cheaper than the lookbehind-alternation pass over every full record
+    (measured 8.0 s -> 1.8 s for the parse at 100k docs, local[32]), and
+    fields never consumed are never stripped at all."""
+    return F.regexp_replace(col, r'^\s*"|"\s*$', "")
 
-    Quote-stripping runs as ONE whole-record regexp (quotes adjacent to the
-    tuple delimiter or record edges) instead of a per-field ``transform``
-    lambda: higher-order functions evaluate interpreted
-    (ArrayTransform.nullSafeEval — stack-sampled as the parse hot spot) and
-    fall out of whole-stage codegen; a flat regexp_replace + split stays
-    codegen'd and runs once per record.
+
+def parse_records(raw: DataFrame) -> DataFrame:
+    """E2/E3: grammar string -> one row per record, fields pre-stripped into
+    NAMED columns ``(nf, f0..f3, flast)``.
+
+    The decoders only ever consume the tag, fields 1-3, and the last field
+    (weight), so the record is decomposed once at parse time: per-field
+    anchored quote-strips (:func:`_fstrip`) replace the old whole-record
+    lookbehind-alternation regexp — measured 8.0 s -> 1.8 s for the parse
+    pass at 100k docs/local[32] — and the work happens BEFORE the stage
+    cache, so both decode scans read final values. Unconsumed middle fields
+    of over-arity records are dropped (``nf`` preserves the arity for the
+    P2 filters). No higher-order-function lambdas anywhere: those evaluate
+    interpreted and fall out of whole-stage codegen.
     """
     recs = raw.select(
         "doc_id", "chunk_id",
         F.explode(F.split("output", r"##|<\|COMPLETE\|>")).alias("rec"),
     ).filter(F.length(F.trim("rec")) > 0)
     inner = F.regexp_extract("rec", r"\((.*)\)", 1)
-    cleaned = F.regexp_replace(
-        inner, r'(^|(?<=<\|>))\s*"|"\s*($|(?=<\|>))', ""
+    fr = recs.select(
+        "doc_id", "chunk_id", F.split(inner, r"<\|>", -1).alias("fr")
     )
-    return recs.select(
+    return fr.select(
         "doc_id", "chunk_id",
-        F.split(cleaned, r"<\|>", -1).alias("fields"),
-    ).filter((F.size("fields") >= 1) & (F.length(F.get("fields", F.lit(0))) > 0))
+        F.size("fr").alias("nf"),
+        _fstrip(F.get("fr", F.lit(0))).alias("f0"),
+        _fstrip(F.get("fr", F.lit(1))).alias("f1"),
+        _fstrip(F.get("fr", F.lit(2))).alias("f2"),
+        _fstrip(F.get("fr", F.lit(3))).alias("f3"),
+        _fstrip(F.element_at("fr", -1)).alias("flast"),
+    ).filter((F.col("nf") >= 1) & (F.length("f0") > 0))
 
 
 def decode_mentions(parsed: DataFrame) -> DataFrame:
@@ -229,12 +249,12 @@ def decode_mentions(parsed: DataFrame) -> DataFrame:
     from ..functions.cleaning import clean_str_col
 
     return (
-        parsed.filter((F.size("fields") >= 4) & (F.get("fields", F.lit(0)) == "entity"))
+        parsed.filter((F.col("nf") >= 4) & (F.col("f0") == "entity"))
         .select(
             "doc_id", "chunk_id",
-            clean_str_col(F.upper(F.get("fields", F.lit(1)))).alias("entity_name"),
-            clean_str_col(F.upper(F.get("fields", F.lit(2)))).alias("entity_type"),
-            clean_str_col(F.get("fields", F.lit(3))).alias("description"),
+            clean_str_col(F.upper("f1")).alias("entity_name"),
+            clean_str_col(F.upper("f2")).alias("entity_type"),
+            clean_str_col(F.col("f3")).alias("description"),
             F.col("chunk_id").alias("source_id"),
         )
         .filter(F.length("entity_name") > 0)  # P3, text2graph.py:58-59
@@ -249,18 +269,18 @@ def decode_triples(parsed: DataFrame) -> DataFrame:
     from ..functions.cleaning import clean_str_col
 
     rels = parsed.filter(
-        (F.size("fields") >= 5) & (F.get("fields", F.lit(0)) == "relationship")
+        (F.col("nf") >= 5) & (F.col("f0") == "relationship")
     ).select(
         "doc_id", "chunk_id",
-        clean_str_col(F.upper(F.get("fields", F.lit(1)))).alias("a"),
-        clean_str_col(F.upper(F.get("fields", F.lit(2)))).alias("b"),
-        clean_str_col(F.get("fields", F.lit(3))).alias("description"),
+        clean_str_col(F.upper("f1")).alias("a"),
+        clean_str_col(F.upper("f2")).alias("b"),
+        clean_str_col(F.col("f3")).alias("description"),
         # weight = LAST field (reference uses record_attributes[-1],
         # text2graph.py:125-127), trimmed (split_string_by_multi_markers
         # strips each field, base.py:58-63)
         F.when(
-            F.trim(F.element_at("fields", -1)).rlike(FLOAT_RE),
-            F.trim(F.element_at("fields", -1)).cast("double"),
+            F.trim("flast").rlike(FLOAT_RE),
+            F.trim("flast").cast("double"),
         ).otherwise(F.lit(1.0)).alias("weight"),
     )
     return (
