@@ -61,6 +61,11 @@ def seed_entities(nodes: DataFrame, edges: DataFrame, query: str, k: int = 5) ->
     toks = [t.upper() for t in query.split() if t]
     deg = degrees(edges)
     cand = nodes.filter(F.col("entity_name").isin(toks)).join(deg, "entity_name", "left")
+    # unpartitioned window is deliberate and SAFE here (and in the other
+    # qctx ranking/budget windows): its input is already filtered to the
+    # per-query candidate set — bounded by the query's token count / seed
+    # fan-out, never corpus-sized. Do NOT lift this pattern onto a big
+    # relation; use the TakeOrdered/partitioned-window shapes instead.
     w = Window.orderBy(F.desc(F.coalesce("degree", F.lit(0))), F.asc("entity_name"))
     return (
         cand.withColumn("rnk", F.row_number().over(w))
