@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup / similarity / text analysis
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
         "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
+        "dup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(dedup.docs_table(s, d)),
         "dup_simhash": lambda s, d: dedup.simhash(dedup.docs_table(s, d)),
         "dup_simhash_pairs": lambda s, d: dedup.simhash_near_duplicates(dedup.docs_table(s, d)),
         "dup_embedding": lambda s, d: dedup.embedding_near_duplicates(s, d),
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "qctx_seeds_vdb": oracle.qctx_seeds_vdb_sql(),
         "dup_exact": oracle_extra.dup_exact_sql(),
         "dup_minhash": oracle_extra.dup_minhash_sql(),
+        "dup_ngram_jaccard": oracle_extra.ngram_jaccard_sql(),
         "dup_simhash": oracle_extra.dup_simhash_sql(),
         "dup_simhash_pairs": oracle_extra.dup_simhash_pairs_sql(),
         "dup_embedding": oracle_extra.dup_embedding_sql(),

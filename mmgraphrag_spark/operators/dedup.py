@@ -348,3 +348,61 @@ def embedding_near_duplicates_bruteforce(
         )
         .select("a", "b", "dot", "na", "nb")
     )
+
+
+# ---- exact n-gram Jaccard (inverted-index join) -----------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = 100000,
+    cfg: PipelineConfig = DEFAULT,
+) -> DataFrame:
+    """(a, b, jaccard_pm): EXACT shingle-Jaccard pairs via the inverted
+    index — the deterministic sibling of the MinHash path (which estimates
+    candidates first and verifies after).
+
+    Shape: explode shingles -> posting-list self-equi-join on the shingle ->
+    count shared shingles per pair -> |A∪B| = na + nb - inter. Every join is
+    equi (shuffle-bounded); no all-pairs anywhere. ``max_df`` drops
+    stop-shingles whose posting lists exceed it BEFORE the join (the
+    standard scale guard: a boilerplate shingle shared by 10^6 docs would
+    otherwise emit 10^12 pair rows). Pairs are exact whenever their common
+    shingles all survive the cap; union sizes always use the FULL sets. The
+    DuckDB twin applies the identical cap, so parity is bit-exact at any
+    setting.
+    """
+    sh = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.explode(_shingles(cfg)).alias("s")
+    )
+    rare = (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    posted = sh.join(rare, "s")
+    inter = (
+        posted.alias("x")
+        .join(
+            posted.alias("y"),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"),
+                                F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("n").alias("nb")), "b")
+        .selectExpr(
+            "a", "b",
+            "inter * 1000000L div (na + nb - inter) AS jaccard_pm",
+        )
+    )
+    return j.filter(
+        F.col("jaccard_pm") >= int(threshold * 1_000_000)
+    ).select("a", "b", "jaccard_pm")

@@ -347,3 +347,33 @@ ranked AS (
 )
 SELECT qid, cid, dot, rank_key, rnk FROM ranked WHERE rnk <= {k}
 """
+
+
+def ngram_jaccard_sql(
+    threshold: float = 0.5, max_df: int = 100000, cfg: PipelineConfig = DEFAULT
+) -> str:
+    """Twin of dedup.ngram_jaccard_pairs: inverted-index exact Jaccard with
+    the identical stop-shingle df cap; union sizes from the FULL sets."""
+    t = int(threshold * 1_000_000)
+    return f"""
+WITH {_shingle_cte(cfg)},
+posted0 AS (
+  SELECT doc_id, u.s AS s FROM sh, UNNEST(sh.sh) AS u(s)
+),
+rare AS (
+  SELECT s FROM posted0 GROUP BY s HAVING count(*) <= {max_df}
+),
+posted AS (
+  SELECT p.doc_id, p.s FROM posted0 p JOIN rare r ON r.s = p.s
+),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM posted x JOIN posted y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM posted0 GROUP BY doc_id)
+SELECT i.a, i.b,
+       i.inter * 1000000 // (sa.n + sb.n - i.inter) AS jaccard_pm
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 1000000 // (sa.n + sb.n - i.inter) >= {t}
+"""

@@ -175,3 +175,48 @@ def test_ivf_assignment_covers_corpus_once(spark):
     assert assign.count() == n
     assert assign.select("vec_id").distinct().count() == n
     assert assign.select("cent_id").distinct().count() <= 8
+
+
+def test_ngram_jaccard_exact_vs_python(spark):
+    """Inverted-index Jaccard equals an in-memory set computation; the
+    minhash path's verified pairs are a subset (its candidates are LSH-
+    limited; its Jaccard values must agree exactly where both report)."""
+    docs = dedup.docs_table(spark, SF_TINY)
+    got = {
+        (r.a, r.b): r.jaccard_pm
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    pdf = docs.toPandas()
+    k = 3
+    sets = {
+        r.doc_id: {
+            " ".join(r.text.split()[j:j + k])
+            for j in range(max(len(r.text.split()) - k, 0) + 1)
+        }
+        for r in pdf.itertuples()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            jac = inter * 1_000_000 // (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= 300_000:
+                want[(a, b)] = jac
+    assert got == want
+    mh = {
+        (r.a, r.b): r.jaccard_pm
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.3).collect()
+    }
+    assert set(mh) <= set(got)
+    for p_, v in mh.items():
+        assert got[p_] == v
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
+    """With max_df=1 every shared shingle is dropped before the join -> no
+    pairs at all (the cap is a real pre-join filter, not post-hoc)."""
+    docs = dedup.docs_table(spark, SF_TINY)
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=1).count() == 0
