@@ -52,14 +52,33 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 # ---- minhash + LSH ----------------------------------------------------------
 
-def _shingles(cfg: PipelineConfig):
+def shingle_rows(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """(doc_id, s): one row per k-word shingle OCCURRENCE (duplicates kept).
+
+    Flat construction — explode an index range and read the k words with
+    ``F.get`` element accesses (codegen; concat_ws skips the nulls past the
+    array end, matching slice semantics on short docs). Zero higher-order
+    lambdas: the earlier ``transform(sequence, j -> concat_ws(slice(...)))``
+    per-row array build ran interpreted (the ~30x-vs-flat anti-pattern
+    PLANS.md documents), and at 100 TB the shingle pass IS the minhash job.
+    Consumers that need per-doc-DISTINCT shingles dedup with an aggregation
+    (map-side partial combine) instead of a per-row HOF.
+    """
     k = cfg.shingle_size
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, greatest(size(w) - {k}, 0)),"
-            f" j -> concat_ws(' ', slice(w, j + 1, {k})))"
-        )
+    idx = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", "w",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0)))
+        ).alias("j"),
     )
+    parts = [F.get("w", (F.col("j") + i).cast("int")) for i in range(k)]
+    return idx.select("doc_id", F.concat_ws(" ", *parts).alias("s"))
+
+
+def _shingle_sets(sh_rows: DataFrame) -> DataFrame:
+    """(doc_id, sh array<string>): distinct shingle set per doc (for the
+    exact-Jaccard verifiers; call on a candidate-restricted relation)."""
+    return sh_rows.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
 
 
 def minhash_signatures(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
@@ -67,17 +86,27 @@ def minhash_signatures(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFr
 
     String-min minhash keeps the math engine-portable (no 64-bit hash
     parity issues); collision behavior matches integer minhash.
+
+    Shape: shingle rows -> ONE groupBy(doc_id) computing all ``perms`` min
+    aggregates as flat codegen md5 expressions — map-side partial combine
+    collapses each task's rows to one row per doc before the exchange
+    (min over occurrences == min over the distinct set, so no dedup pass
+    is needed). Replaces the 16-lambda ``transform`` chain the round-2
+    audit flagged as the interpreted hot path.
     """
-    sh = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id", _shingles(cfg).alias("sh")
-    )
+    sh = shingle_rows(docs, cfg)
     mins = [
-        F.array_min(
-            F.expr(f"transform(sh, s -> md5(concat('{i}|', s)))")
-        ).alias(f"m{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
         for i in range(cfg.minhash_perms)
     ]
-    return sh.select("doc_id", F.array(*mins).alias("sig"), "sh")
+    return (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{i}") for i in range(cfg.minhash_perms)]).alias("sig"),
+        )
+    )
 
 
 def lsh_candidates(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
@@ -121,11 +150,20 @@ def minhash_near_duplicates(
     """(a, b, jaccard_pm): LSH candidates verified by true shingle Jaccard.
 
     jaccard_pm = 10^6-scaled integer Jaccard (floor), engine-exact.
+
+    The exact-verify step materializes distinct shingle SETS only for docs
+    that appear in some candidate pair (left_semi before collect_set), so
+    the verification cost follows the candidate count, not the corpus.
     """
-    sh = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id", _shingles(cfg).alias("sh")
-    )
     pairs = lsh_candidates(docs, cfg).select("a", "b").distinct()
+    in_pairs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingle_sets(
+        shingle_rows(docs, cfg).join(in_pairs, "doc_id", "left_semi")
+    )
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
         .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
@@ -371,9 +409,10 @@ def ngram_jaccard_pairs(
     DuckDB twin applies the identical cap, so parity is bit-exact at any
     setting.
     """
-    sh = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id", F.explode(_shingles(cfg)).alias("s")
-    )
+    # per-doc-distinct shingle rows: flat construction + one hash-aggregate
+    # dedup (map-side partial combine) — replaces the interpreted per-row
+    # transform/array_distinct HOF build
+    sh = shingle_rows(docs, cfg).dropDuplicates(["doc_id", "s"])
     rare = (
         sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)

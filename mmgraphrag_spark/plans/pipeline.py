@@ -23,6 +23,7 @@ DAG (all edges are parquet checkpoints):
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -298,28 +299,45 @@ class Pipeline:
                             ["fused_nodes", "fused_edges"], _fused_graph),
         }
 
-        ran: dict[str, bool] = {}
-        if not parallel:
-            for name, (_, inputs, outputs, fn) in dag.items():  # topo order
-                ran[name] = self._stage(name, inputs, outputs, fn, resume)
-        else:
-            import concurrent.futures as cf
+        # concurrent _stage calls need PySpark pinned-thread mode (default
+        # since Spark 3.2) so setJobDescription / per-thread local properties
+        # (scheduler pools, tags) don't leak across stages running at once
+        if parallel and os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "false":
+            parallel = False
 
-            with cf.ThreadPoolExecutor(max_workers=3) as pool:
-                futures: dict[cf.Future, str] = {}
-                pending = dict(dag)
-                while pending or futures:
-                    for name in list(pending):
-                        deps, inputs, outputs, fn = pending[name]
-                        if all(d in ran for d in deps):
-                            futures[pool.submit(
-                                self._stage, name, inputs, outputs, fn, resume
-                            )] = name
-                            del pending[name]
-                    done, _ = cf.wait(
-                        set(futures), return_when=cf.FIRST_COMPLETED
-                    )
-                    for fut in done:
-                        ran[futures.pop(fut)] = fut.result()  # re-raises
-        self._flush_meta()
+        ran: dict[str, bool] = {}
+        # flush lineage/metrics even when a stage raises or the run is
+        # interrupted: the pyarrow write is cheap driver-side IO, and losing
+        # it would leave already-committed checkpoints with no lineage rows
+        # (a resume then skips those stages and never backfills them)
+        try:
+            if not parallel:
+                for name, (_, inputs, outputs, fn) in dag.items():  # topo order
+                    ran[name] = self._stage(name, inputs, outputs, fn, resume)
+            else:
+                import concurrent.futures as cf
+
+                with cf.ThreadPoolExecutor(max_workers=3) as pool:
+                    futures: dict[cf.Future, str] = {}
+                    pending = dict(dag)
+                    while pending or futures:
+                        for name in list(pending):
+                            deps, inputs, outputs, fn = pending[name]
+                            if all(d in ran for d in deps):
+                                futures[pool.submit(
+                                    self._stage, name, inputs, outputs, fn, resume
+                                )] = name
+                                del pending[name]
+                        if not futures:
+                            raise RuntimeError(
+                                f"unschedulable stages (dependency cycle or "
+                                f"unknown dep): {sorted(pending)}"
+                            )
+                        done, _ = cf.wait(
+                            set(futures), return_when=cf.FIRST_COMPLETED
+                        )
+                        for fut in done:
+                            ran[futures.pop(fut)] = fut.result()  # re-raises
+        finally:
+            self._flush_meta()
         return ran

@@ -130,7 +130,7 @@ def stream_entity_counts(spark: SparkSession, mentions_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-entity mention totals over a stream of mention rows.
 
-    State per entity_name = one bounded counter tuple — survives micro-batch
+    State per entity_name = (count, seen-chunk digest set) — survives micro-batch
     boundaries AND query restarts via the checkpointed state store (tested:
     a second AvailableNow run over new files resumes the totals). This is
     the §2.11 building block the batch reference lacks: canonicalization
@@ -141,40 +141,56 @@ def stream_entity_counts(spark: SparkSession, mentions_dir: str) -> DataFrame:
 
         q = stream_entity_counts(spark, d).writeStream.format("memory")...
     """
+    import hashlib
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # chunk_appearances is a TRUE distinct count across the whole stream:
+    # state carries the set of 64-bit chunk-id digests seen so far, so a
+    # chunk whose mentions for an entity straddle two micro-batches is
+    # counted once (a bare per-batch-distinct add would double-count it).
+    # State grows with distinct chunks per entity — linear in the real
+    # fan-in, same as any exact distinct; at true hub scale swap the digest
+    # set for an HLL sketch (approximate, constant-size) — the state schema
+    # is the only thing that changes.
+    def _digest64(cid: str) -> int:
+        d = hashlib.md5(cid.encode()).digest()
+        return int.from_bytes(d[:8], "big", signed=True)
+
     def update_counts(key, pdfs, state: GroupState):
         n = 0
-        chunk_ids: set = set()  # bounded by the micro-batch, not the stream
+        batch_hashes: set[int] = set()
         for pdf in pdfs:
             n += len(pdf)
-            chunk_ids.update(pdf["chunk_id"])
+            batch_hashes.update(_digest64(c) for c in pdf["chunk_id"])
         if state.exists:
-            prev_n, prev_c = state.get
+            prev_n, prev_hashes = state.get
+            seen = set(prev_hashes)
         else:
-            prev_n, prev_c = 0, 0
-        total_n, total_c = prev_n + n, prev_c + len(chunk_ids)
-        state.update((total_n, total_c))
+            prev_n, seen = 0, set()
+        seen |= batch_hashes
+        total_n = prev_n + n
+        state.update((total_n, sorted(seen)))
         yield pd.DataFrame(
             {"entity_name": [key[0]], "mentions": [total_n],
-             "chunk_appearances": [total_c]}
+             "chunk_appearances": [len(seen)]}
         )
 
     stream = spark.readStream.schema(MENTIONS_SCHEMA).parquet(mentions_dir)
     return stream.groupBy("entity_name").applyInPandasWithState(
         update_counts,
         outputStructType="entity_name string, mentions long, chunk_appearances long",
-        stateStructType="mentions long, chunk_appearances long",
+        stateStructType="mentions long, chunk_hashes array<long>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
 def batch_entity_counts(spark: SparkSession, mentions_dir: str) -> DataFrame:
-    """Batch twin of stream_entity_counts (yardstick; chunk_appearances is
-    per-batch-distinct in the stream, so equality holds when each chunk's
-    mentions arrive within one micro-batch — true for file-per-batch feeds)."""
+    """Batch twin of stream_entity_counts (yardstick): countDistinct equals
+    the stream's digest-set cardinality regardless of how a chunk's mentions
+    split across micro-batches."""
     return (
         spark.read.parquet(mentions_dir)
         .groupBy("entity_name")

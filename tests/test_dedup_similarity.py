@@ -131,6 +131,21 @@ def test_embedding_dedup_plan_has_no_nested_loop_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_signature_plan_is_lambda_free_with_partial_agg(spark):
+    """The signature build is the minhash job at corpus scale: it must be
+    flat codegen min-aggregates (map-side partial combine), with zero
+    interpreted higher-order-function lambdas anywhere in the plan."""
+    docs = dedup.docs_table(spark, SF_TINY)
+    plan = dedup.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "lambdavariable" not in plan.lower()
+    assert "partial_min" in plan
+    pairs_plan = (
+        dedup.minhash_near_duplicates(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "lambdavariable" not in pairs_plan.lower()
+
+
 def test_ivf_with_full_probe_equals_bruteforce(spark):
     """nprobe == n_centroids probes every list -> candidates are the whole
     corpus -> IVF must reproduce brute force EXACTLY (same integer ranks,

@@ -171,3 +171,42 @@ def test_stateful_entity_counts_stream_equals_batch_and_resumes(spark, tmp_path)
     merged.update(got2)
     assert merged["mentions"].to_dict() == want2["mentions"].to_dict()
     assert merged["chunk_appearances"].to_dict() == want2["chunk_appearances"].to_dict()
+
+
+def test_stateful_counts_chunk_straddling_two_batches_counted_once(spark, tmp_path):
+    """A chunk whose mentions for an entity arrive in TWO different
+    micro-batches must still count as ONE chunk appearance (the state keeps
+    a seen-chunk digest set, not a per-batch-distinct sum)."""
+    src = str(tmp_path / "straddle_src")
+    ckpt = str(tmp_path / "straddle_ckpt")
+    sink = str(tmp_path / "straddle_sink")
+
+    row = [("docX", "chunk-abc", "ALPHA", "TERM", "d", "chunk-abc")]
+    cols = ["doc_id", "chunk_id", "entity_name", "entity_type",
+            "description", "source_id"]
+
+    def drain():
+        q = (
+            incremental.stream_entity_counts(spark, src)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(row, cols).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(row, cols).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    final = (
+        spark.read.parquet(sink)
+        .groupBy("entity_name")
+        .agg(F.max("mentions").alias("m"), F.max("chunk_appearances").alias("c"))
+        .collect()[0]
+    )
+    assert final["m"] == 2 and final["c"] == 1

@@ -29,19 +29,27 @@ def task_metric_totals(path: str) -> dict[str, float]:
 
 
 def decompress_evlog(app_dir: str, out_path: str) -> str:
-    """Decompress a rolling-v2 zstd event log dir to one JSON-lines file."""
+    """Decompress a rolling-v2 zstd event log dir to one JSON-lines file.
+
+    Concatenates EVERY events_* segment in roll order — a log that rolled
+    past one segment would otherwise silently undercount task metrics.
+    """
     import glob
 
     import pyarrow as pa
 
-    src = sorted(glob.glob(f"{app_dir}/events_*"))[0]
-    codec = "zstd" if src.endswith(".zstd") else None
-    with pa.input_stream(src, compression=codec) as f, open(out_path, "wb") as o:
-        while True:
-            b = f.read(1 << 20)
-            if not b:
-                break
-            o.write(b)
+    segments = sorted(glob.glob(f"{app_dir}/events_*"))
+    if not segments:
+        raise FileNotFoundError(f"no events_* segments under {app_dir}")
+    with open(out_path, "wb") as o:
+        for src in segments:
+            codec = "zstd" if src.endswith(".zstd") else None
+            with pa.input_stream(src, compression=codec) as f:
+                while True:
+                    b = f.read(1 << 20)
+                    if not b:
+                        break
+                    o.write(b)
     return out_path
 
 
