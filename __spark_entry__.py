@@ -18,9 +18,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from dataclasses import replace  # noqa: E402
 
-from mmgraphrag_spark import api, oracle, oracle_extra  # noqa: E402
+from mmgraphrag_spark import api, oracle, oracle_extra, synth  # noqa: E402
 from mmgraphrag_spark.config import DEFAULT  # noqa: E402
 from mmgraphrag_spark.operators import dedup, similarity, textstats  # noqa: E402
+from mmgraphrag_spark.sources import mineru  # noqa: E402
+
+# S3 media-context word radius for the driver query (reference default is
+# 100; the synthetic docs are short, so a smaller radius keeps the
+# before/after windows non-degenerate)
+CTX_WORDS = 20
 
 # E1 gleaning on: the bounded re-ask loop recovers missed mentions
 GLEANED_CFG = replace(DEFAULT, gleaning_rounds=1)
@@ -54,6 +60,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fused_edges": api.fused_edges,
         "kg_enhanced_nodes": api.enhanced_nodes,
         "kg_enhanced_edges": api.enhanced_edges,
+        # S3 MinerU ingestion: serializer ∘ parser round trip over the
+        # interleaved table — the oracle is the INDEPENDENT DuckDB spans
+        # derivation, so a defect in either direction breaks parity
+        "ingest_spans": lambda s, d: mineru.content_list_spans(
+            mineru.spans_to_content_list(synth.flat_spans(s, d))
+        ),
+        "ingest_media_context": lambda s, d: mineru.media_context(
+            synth.flat_spans(s, d), CTX_WORDS
+        ),
         "mm_decode": api.mm_decode,
         "mm_frames": api.mm_frames,
         "media_chunk_match": api.media_chunk_match,
@@ -84,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_spans": oracle.q(oracle.spans_select()),
+        "ingest_spans": oracle.q(oracle.spans_select()),
+        "ingest_media_context": oracle.q(oracle.media_context_select(CTX_WORDS)),
         "kg_chunks": oracle.q(oracle.chunks_select()),
         "kg_mentions": oracle.q(oracle.mentions_select()),
         "kg_mentions_gleaned": oracle.q(oracle.mentions_gleaned_select()),

@@ -526,6 +526,32 @@ def spans_select() -> str:
     return 'SELECT doc_id, kind, text, media_ref, "offset" FROM spans'
 
 
+def media_context_select(n_words: int) -> str:
+    """S3 media-context walk (reference pdf2md_preprocessing.py:416-440):
+    before = last n words of all preceding text spans, after = first n of
+    all following; context = trim(before || ' ' || after)."""
+    return f"""
+SELECT doc_id, media_ref,
+       trim(concat_ws(' ',
+         array_to_string(list_slice(bw, greatest(len(bw) - {n_words} + 1, 1),
+                                    len(bw)), ' '),
+         array_to_string(list_slice(aw, 1, {n_words}), ' '))) AS context
+FROM (
+  SELECT doc_id, media_ref, kind,
+         string_split(coalesce(string_agg(CASE WHEN kind = 'text' THEN text END,
+                                          ' ') OVER w_b, ''), ' ') AS bw,
+         string_split(coalesce(string_agg(CASE WHEN kind = 'text' THEN text END,
+                                          ' ') OVER w_a, ''), ' ') AS aw
+  FROM spans
+  WINDOW
+    w_b AS (PARTITION BY doc_id ORDER BY "offset"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_a AS (PARTITION BY doc_id ORDER BY "offset"
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+) t WHERE kind = 'image'
+"""
+
+
 def chunks_select() -> str:
     return "SELECT chunk_id, doc_id, chunk_order_index, tokens, content FROM chunks"
 

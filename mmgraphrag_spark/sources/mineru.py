@@ -1,0 +1,221 @@
+"""S3 — MinerU ``*_content_list.json`` ingestion source.
+
+The reference consumes MinerU output by reading the ordered content-list JSON
+(items ``{type: text|image|table|equation, text?, img_path?, *_caption[],
+*_footnote[], page_idx}``), renaming every item that carries an ``img_path``
+to a sequential ``images/image_<n>.jpg`` and walking the neighboring items
+for ±``context_length`` words of media context
+(/root/reference/mmgraphrag/pdf2md_preprocessing.py:302-313,351-456).
+
+Spark-first re-expression: the content list IS the interleaved spans
+sequence, so ingestion is a pure column-op normalization —
+
+* each item becomes one span, ``offset`` = its 0-based position;
+* items with a non-empty ``img_path`` (type image OR table — exactly the
+  reference's ``"img_path" in item and item["img_path"] != ""`` test)
+  become ``kind='image'`` spans whose ``media_ref`` is the sequential
+  ``<doc_id>/image_<n>`` (mirroring ``rename_images_in_json``,
+  pdf2md_preprocessing.py:302-313) and whose text is the caption+footnote
+  join;
+* text and equation items become ``kind='text'`` spans (MinerU emits the
+  same prose in the .md the reference chunks — equations are latex text).
+
+Scale shape: one wholetext file scan (a content list is one small JSON doc;
+parallelism = file count, exactly how a 10^12-doc corpus of per-doc JSON
+lands), ``from_json`` + ``posexplode`` (narrow), and one per-doc window for
+the sequential media rank — the window partitions on doc_id, the same key
+every downstream stage shuffles on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# full MinerU item surface (absent fields -> null)
+MINERU_ITEM = (
+    "array<struct<"
+    "type:string,text:string,text_level:int,text_format:string,"
+    "img_path:string,img_caption:array<string>,img_footnote:array<string>,"
+    "table_caption:array<string>,table_footnote:array<string>,"
+    "table_body:string,page_idx:int"
+    ">>"
+)
+
+
+def read_content_lists(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, json): one row per content-list file.
+
+    ``wholetext`` keeps the ordered JSON array intact (a row-per-item JSON
+    scan would lose item order); doc_id = the file's ``<name>`` stem from
+    ``<name>_content_list.json``.
+    """
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+?)(?:_content_list)?\.json$", 1
+            ).alias("doc_id"),
+            F.col("value").alias("json"),
+        )
+    )
+
+
+def content_list_spans(lists: DataFrame) -> DataFrame:
+    """(doc_id, kind, text, media_ref, offset): normalize content lists to
+    the engine's interleaved-spans relation."""
+    items = lists.select(
+        "doc_id",
+        F.posexplode(F.from_json("json", MINERU_ITEM)).alias("pos", "it"),
+    )
+    empty = F.array().cast("array<string>")
+    is_media = F.col("it.img_path").isNotNull() & (F.col("it.img_path") != "")
+    caption = F.when(
+        F.col("it.type") == "table",
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("it.table_caption"), empty),
+            F.coalesce(F.col("it.table_footnote"), empty),
+        ),
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("it.img_caption"), empty),
+            F.coalesce(F.col("it.img_footnote"), empty),
+        )
+    )
+    flagged = items.select(
+        "doc_id", "pos",
+        is_media.alias("m"),
+        F.when(is_media, caption)
+        .otherwise(F.coalesce(F.col("it.text"), F.lit(""))).alias("text"),
+    )
+    # sequential 1-based media rank in item order == the reference's
+    # image_counter rename (pdf2md_preprocessing.py:302-313)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        flagged.withColumn(
+            "mrank", F.sum(F.col("m").cast("int")).over(w)
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("m"), F.lit("image")).otherwise(F.lit("text")).alias("kind"),
+            "text",
+            F.when(
+                F.col("m"),
+                F.concat(F.col("doc_id"), F.lit("/image_"), F.col("mrank").cast("string")),
+            ).otherwise(F.lit("")).alias("media_ref"),
+            F.col("pos").cast("int").alias("offset"),
+        )
+    )
+
+
+def content_list_media(lists: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, img_path, kind, caption, page_idx): the media-item
+    side table — joins the renamed media_ref back to the ORIGINAL MinerU
+    ``img_path`` so a bytes loader (multimodal.py) can fetch the files."""
+    items = lists.select(
+        "doc_id",
+        F.posexplode(F.from_json("json", MINERU_ITEM)).alias("pos", "it"),
+    ).filter(F.col("it.img_path").isNotNull() & (F.col("it.img_path") != ""))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    empty = F.array().cast("array<string>")
+    return items.select(
+        "doc_id",
+        F.concat(
+            F.col("doc_id"), F.lit("/image_"),
+            F.row_number().over(w).cast("string"),
+        ).alias("media_ref"),
+        F.col("it.img_path").alias("img_path"),
+        F.col("it.type").alias("kind"),
+        F.when(
+            F.col("it.type") == "table",
+            F.concat_ws(" ", F.coalesce("it.table_caption", empty),
+                        F.coalesce("it.table_footnote", empty)),
+        ).otherwise(
+            F.concat_ws(" ", F.coalesce("it.img_caption", empty),
+                        F.coalesce("it.img_footnote", empty))
+        ).alias("caption"),
+        F.col("it.page_idx").alias("page_idx"),
+    )
+
+
+def media_context(flat_spans: DataFrame, n_words: int = 100) -> DataFrame:
+    """(doc_id, media_ref, context): ±``n_words`` of neighboring text for
+    every media span — the reference's fore/back context walk
+    (pdf2md_preprocessing.py:416-440) as two per-doc windows.
+
+    before = last n words of all text spans at smaller offsets, after =
+    first n words at larger offsets; context = trim(before || ' ' || after).
+    The windows partition on doc_id (doc-bounded state, the key downstream
+    reuses); word slicing is flat slice/size arithmetic, no HOF lambdas.
+    """
+    txt = F.when(F.col("kind") == "text", F.col("text")).otherwise(F.lit(None))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    before_txt = F.concat_ws(
+        " ", F.collect_list(txt).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    after_txt = F.concat_ws(
+        " ", F.collect_list(txt).over(w.rowsBetween(1, Window.unboundedFollowing))
+    )
+    spans = flat_spans.select(
+        "doc_id", "kind", "media_ref", "offset",
+        F.split(before_txt, " ").alias("bw"),
+        F.split(after_txt, " ").alias("aw"),
+    ).filter(F.col("kind") == "image")
+    before = F.array_join(
+        F.slice(
+            "bw",
+            F.greatest(F.size("bw") - F.lit(n_words) + 1, F.lit(1)),
+            F.lit(n_words),
+        ),
+        " ",
+    )
+    after = F.array_join(F.slice("aw", F.lit(1), F.lit(n_words)), " ")
+    return spans.select(
+        "doc_id", "media_ref",
+        F.trim(F.concat_ws(" ", before, after)).alias("context"),
+    )
+
+
+def spans_to_content_list(flat_spans: DataFrame) -> DataFrame:
+    """(doc_id, json): serialize a spans relation to MinerU content-list
+    JSON — the exact inverse of :func:`content_list_spans` (text spans →
+    text items, image spans → image items whose caption is the span text).
+
+    Used by the driver round-trip query (ingest_spans) and by tests: the
+    serializer + parser composition must reproduce the independent DuckDB
+    spans derivation bit-for-bit.
+    """
+    items = flat_spans.select(
+        "doc_id", "offset",
+        F.when(
+            F.col("kind") == "image",
+            F.struct(
+                F.lit("image").alias("type"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(
+                    F.lit("images/"),
+                    F.regexp_extract("media_ref", r"/(image_\d+)$", 1),
+                    F.lit(".jpg"),
+                ).alias("img_path"),
+                F.array(F.col("text")).alias("img_caption"),
+                F.lit(0).alias("page_idx"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit("text").alias("type"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("img_path"),
+                F.lit(None).cast("array<string>").alias("img_caption"),
+                F.lit(0).alias("page_idx"),
+            )
+        ).alias("it"),
+    )
+    return (
+        items.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("offset", "it"))).alias("o"))
+        .select(
+            "doc_id",
+            F.to_json(F.col("o.it")).alias("json"),
+        )
+    )

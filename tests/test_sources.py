@@ -1,0 +1,197 @@
+"""Ingestion sources (S1-S3): MinerU content-list JSON, real DOCX, direct
+PDF — every format lands on the spans relation and drives the pipeline."""
+
+from __future__ import annotations
+
+from conftest import SF_TINY
+
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark import synth
+from mmgraphrag_spark.operators import chunker, extractor, media
+from mmgraphrag_spark.sources import docx, mineru, pdf
+
+REF_CONTENT_LIST = (
+    "/root/reference/example_input/mineru_result/2020.acl-main.45/auto/"
+    "2020.acl-main.45_content_list.json"
+)
+
+FAKE_JPEG = b"\xff\xd8\xff\xe0spans-fixture-jpeg-bytes\xff\xd9"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---- MinerU (S3) ------------------------------------------------------------
+
+
+def test_mineru_reference_content_list_lands_on_spans(spark):
+    """The reference's real example input (204 ordered items: 180 text +
+    12 equation, 1 image + 11 tables with img_path) normalizes to the spans
+    relation with the reference's sequential image numbering."""
+    lists = mineru.read_content_lists(spark, REF_CONTENT_LIST)
+    spans = mineru.content_list_spans(lists).cache()
+    assert spans.count() == 204
+    kinds = dict(spans.groupBy("kind").count().collect())
+    assert kinds == {"text": 192, "image": 12}
+    # rename_images_in_json semantics: img_path items -> image_1..image_12
+    # in item order (pdf2md_preprocessing.py:302-313)
+    refs = [
+        r.media_ref
+        for r in spans.filter(F.col("kind") == "image").orderBy("offset").collect()
+    ]
+    assert refs == [f"2020.acl-main.45/image_{i}" for i in range(1, 13)]
+    # offsets are the dense item order
+    mn, mx, nd = spans.agg(
+        F.min("offset"), F.max("offset"), F.countDistinct("offset")
+    ).collect()[0]
+    assert (mn, mx, nd) == (0, 203, 204)
+    # title paragraph survives verbatim
+    first = spans.filter(F.col("offset") == 0).collect()[0]
+    assert first.kind == "text" and "Dice Loss" in first.text
+
+
+def test_mineru_spans_drive_chunker_and_extractor(spark):
+    """End-to-end: the reference's content list -> chunks -> mentions."""
+    spans = mineru.content_list_spans(
+        mineru.read_content_lists(spark, REF_CONTENT_LIST)
+    )
+    chunks = chunker.chunk_docs(synth.nest_spans(spans))
+    n_chunks = chunks.count()
+    assert n_chunks > 1  # 192 text spans -> multi-chunk doc
+    mentions, triples = extractor.extract_mentions_and_triples(chunks)
+    assert mentions.count() > 0 and triples.count() > 0
+    med = media.media_spans(spans)
+    assert med.count() == 12
+
+
+def test_mineru_round_trip_equals_synth_spans(spark):
+    """serializer ∘ parser == identity against the independent spans
+    derivation: spans -> content-list JSON -> spans reproduces synth
+    bit-for-bit (the ingest_spans driver query's oracle is the DuckDB spans
+    derivation for exactly this reason)."""
+    flat = synth.flat_spans(spark, SF_TINY)
+    back = mineru.content_list_spans(mineru.spans_to_content_list(flat))
+    assert _rows(back) == _rows(flat)
+
+
+def test_mineru_media_context_matches_reference_walk(spark):
+    """media_context == the reference's fore/back word accumulation
+    (pdf2md_preprocessing.py:416-440) on a hand-checked fixture."""
+    rows = [
+        ("d1", "text", "a b c d e", "", 0),
+        ("d1", "image", "cap", "d1/image_1", 1),
+        ("d1", "text", "f g", "", 2),
+        ("d1", "text", "h i j", "", 3),
+        ("d2", "image", "solo", "d2/image_1", 0),
+    ]
+    flat = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, media_ref string, offset int"
+    )
+    got = {r.media_ref: r.context for r in mineru.media_context(flat, 3).collect()}
+    # before = last 3 words of preceding text, after = first 3 of following
+    assert got["d1/image_1"] == "c d e f g h"
+    assert got["d2/image_1"] == ""
+
+
+def test_mineru_glob_reads_many_files(spark, tmp_path):
+    """Directory-of-files layout: one content list per doc, doc_id from the
+    filename stem."""
+    import json
+
+    for i in range(3):
+        items = [
+            {"type": "text", "text": f"doc {i} first paragraph", "page_idx": 0},
+            {"type": "image", "img_path": "images/x.jpg",
+             "img_caption": [f"figure {i}"], "page_idx": 0},
+        ]
+        (tmp_path / f"doc{i}_content_list.json").write_text(json.dumps(items))
+    spans = mineru.content_list_spans(
+        mineru.read_content_lists(spark, str(tmp_path / "*_content_list.json"))
+    )
+    assert spans.count() == 6
+    assert sorted(
+        r.doc_id for r in spans.select("doc_id").distinct().collect()
+    ) == ["doc0", "doc1", "doc2"]
+    img = spans.filter(F.col("doc_id") == "doc1").filter(F.col("kind") == "image")
+    r = img.collect()[0]
+    assert r.media_ref == "doc1/image_1" and r.text == "figure 1" and r.offset == 1
+
+
+# ---- DOCX (S1) --------------------------------------------------------------
+
+
+def _fixture_docx(tmp_path, name="mydoc"):
+    p = tmp_path / f"{name}.docx"
+    docx.write_docx(
+        [
+            "alpha bravo charlie delta",
+            ("image", FAKE_JPEG),
+            "echo foxtrot golf",
+            "hotel india juliet",
+        ],
+        str(p),
+    )
+    return p
+
+
+def test_docx_reader_extracts_text_images_and_context(spark, tmp_path):
+    _fixture_docx(tmp_path)
+    spans = docx.docx_spans(spark, str(tmp_path / "*.docx"), context_length=10)
+    got = sorted(tuple(r) for r in spans.collect())
+    assert got == sorted([
+        ("mydoc", "text", "alpha bravo charlie delta", "", 0),
+        # before = last 10 chars of para 0, after = first 10 of para 1
+        # (reference extract_image_context, preprocessing.py:215-236)
+        ("mydoc", "image", "rlie delta echo foxtr", "mydoc/image_1", 1),
+        ("mydoc", "text", "echo foxtrot golf", "", 2),
+        ("mydoc", "text", "hotel india juliet", "", 3),
+    ])
+    m = docx.docx_media(spark, str(tmp_path / "*.docx")).collect()
+    assert len(m) == 1
+    assert (m[0].doc_id, m[0].media_ref) == ("mydoc", "mydoc/image_1")
+    assert bytes(m[0].content) == FAKE_JPEG  # bytes never touched the driver
+
+
+def test_docx_spans_drive_pipeline(spark, tmp_path):
+    _fixture_docx(tmp_path)
+    spans = docx.docx_spans(spark, str(tmp_path / "*.docx"))
+    chunks = chunker.chunk_docs(synth.nest_spans(spans))
+    mentions, _ = extractor.extract_mentions_and_triples(chunks)
+    assert mentions.count() > 0
+    assert media.media_spans(spans).count() == 1
+
+
+# ---- PDF (S2) ---------------------------------------------------------------
+
+
+def test_pdf_reader_extracts_text_images_and_context(spark, tmp_path):
+    pdf.write_pdf(
+        [
+            ["first line of text", "second (escaped) line"],
+            [("image", FAKE_JPEG), "third line after image"],
+        ],
+        str(tmp_path / "mypdf.pdf"),
+    )
+    spans = pdf.pdf_spans(spark, str(tmp_path / "*.pdf"), context_length=12)
+    got = sorted(tuple(r) for r in spans.collect())
+    assert got == sorted([
+        ("mypdf", "text", "first line of text", "", 0),
+        ("mypdf", "text", "second (escaped) line", "", 1),
+        ("mypdf", "image", "scaped) line third line a", "mypdf/image_1", 2),
+        ("mypdf", "text", "third line after image", "", 3),
+    ])
+    m = pdf.pdf_media(spark, str(tmp_path / "*.pdf")).collect()
+    assert len(m) == 1 and bytes(m[0].content) == FAKE_JPEG
+
+
+def test_pdf_spans_drive_pipeline(spark, tmp_path):
+    pdf.write_pdf(
+        [["kappa lambda sigma omega epsilon", "upsilon omicron theta"]],
+        str(tmp_path / "tiny.pdf"),
+    )
+    spans = pdf.pdf_spans(spark, str(tmp_path / "*.pdf"))
+    chunks = chunker.chunk_docs(synth.nest_spans(spans))
+    mentions, triples = extractor.extract_mentions_and_triples(chunks)
+    assert mentions.count() > 0 and triples.count() > 0
