@@ -30,6 +30,8 @@ CTX_WORDS = 20
 
 # E1 gleaning on: the bounded re-ask loop recovers missed mentions
 GLEANED_CFG = replace(DEFAULT, gleaning_rounds=1)
+# depth-2 gleaning: round 2 recovers strictly shorter tokens round 1 missed
+GLEANED2_CFG = replace(DEFAULT, gleaning_rounds=2)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunks": api.chunks,
         "kg_mentions": api.mentions,
         "kg_mentions_gleaned": lambda s, d: api.mentions(s, d, GLEANED_CFG),
+        "kg_mentions_gleaned2": lambda s, d: api.mentions(s, d, GLEANED2_CFG),
         "kg_triples": api.triples,
         "kg_img_mentions": lambda s, d: api.img_mentions(s, d).select(
             "doc_id", "entity_name", "entity_type", "description", "source_id"
@@ -104,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_chunks": oracle.q(oracle.chunks_select()),
         "kg_mentions": oracle.q(oracle.mentions_select()),
         "kg_mentions_gleaned": oracle.q(oracle.mentions_gleaned_select()),
+        "kg_mentions_gleaned2": oracle.q(oracle.mentions_gleaned_select(rounds=2)),
         "kg_triples": oracle.q(oracle.triples_select()),
         "kg_img_mentions": oracle.q(oracle.img_mentions_select()),
         "kg_img_triples": oracle.q(oracle.img_triples_select()),

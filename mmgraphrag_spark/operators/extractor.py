@@ -102,22 +102,29 @@ def mock_extract_batch(pdf, cfg: PipelineConfig = DEFAULT):
     return out[["doc_id", "chunk_id", "output"]]
 
 
+GLEAN_FLOOR = 3  # shortest token length any gleaning round may recover
+
+
 def mock_glean_batch(pdf, round_idx: int, cfg: PipelineConfig = DEFAULT):
-    """Deterministic gleaning pass: recover 'missed' mentions — tokens of
-    length exactly mention_min_len-1 — as extra entity records tagged
-    '(gleaned)'. Stands in for the reference's continue-prompt re-ask
-    (text2graph.py:344-361); emits the same record grammar so parsing is
-    round-agnostic."""
+    """Deterministic gleaning pass: round r recovers 'missed' mentions —
+    tokens of length exactly mention_min_len-1-r — as extra entity records
+    tagged '(gleaned)'. Each deeper round digs up strictly shorter tokens
+    the earlier rounds missed (mirroring the reference's bounded
+    continue-prompt re-ask, text2graph.py:344-361, where every round may
+    add entities until the yes/no probe says stop); the mock converges when
+    the target length would drop below GLEAN_FLOOR. Emits the same record
+    grammar so parsing is round-agnostic."""
     import numpy as np
     import pandas as pd
 
-    if len(pdf) == 0 or round_idx > 0:  # mock converges after one round
+    target = cfg.mention_min_len - 1 - round_idx
+    if len(pdf) == 0 or target < GLEAN_FLOOR:  # converged
         return pd.DataFrame({"doc_id": [], "chunk_id": [], "output": []})
     t = pdf[["doc_id", "chunk_id"]].copy()
     t["tok"] = pdf["content"].str.split(" ")
     t = t.explode("tok", ignore_index=True)
     t["pos"] = t.groupby("chunk_id").cumcount()
-    t = t[t["tok"].str.len() == cfg.mention_min_len - 1].copy()
+    t = t[t["tok"].str.len() == target].copy()
     if len(t) == 0:
         return pd.DataFrame({"doc_id": [], "chunk_id": [], "output": []})
     t["etype"] = np.where(t["pos"] % 2 == 0, "TERM", "LABEL")

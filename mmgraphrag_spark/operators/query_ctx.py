@@ -249,6 +249,29 @@ def render_context(
     Driver-side by design: the inputs are already budget-truncated context
     sets (tens of rows); this is the serialization boundary, not a bulk
     operator."""
+    e, r, t = context_blocks(seeds, edges, chunks, chunk_table)
+    return f"""
+    -----Entities-----
+    ```csv
+    {e}
+    ```
+    -----Relationships-----
+    ```csv
+    {r}
+    ```
+    -----Sources-----
+    ```csv
+    {t}
+    ```
+    """
+
+
+def context_blocks(
+    seeds: DataFrame, edges: DataFrame, chunks: DataFrame, chunk_table: DataFrame
+) -> tuple[str, str, str]:
+    """The three CSV blocks (entities, relationships, sources) separately —
+    the answer-prompt assembler scrapes ORI_IMG rows from the entities block
+    exactly like the reference does (query.py:414-421)."""
     node_rows = [["id", "entity", "type", "description", "rank"]]
     for i, r in enumerate(seeds.orderBy("rnk").collect()):
         node_rows.append([i, r.entity_name, r.entity_type, "UNKNOWN", r.degree])
@@ -270,20 +293,8 @@ def render_context(
     )
     for i, r in enumerate(ordered_chunks.collect()):
         text_rows.append([i, content.get(r.chunk_id, "")])
-    entities_context = list_of_list_to_csv(node_rows)
-    relations_context = list_of_list_to_csv(rel_rows)
-    text_units_context = list_of_list_to_csv(text_rows)
-    return f"""
-    -----Entities-----
-    ```csv
-    {entities_context}
-    ```
-    -----Relationships-----
-    ```csv
-    {relations_context}
-    ```
-    -----Sources-----
-    ```csv
-    {text_units_context}
-    ```
-    """
+    return (
+        list_of_list_to_csv(node_rows),
+        list_of_list_to_csv(rel_rows),
+        list_of_list_to_csv(text_rows),
+    )

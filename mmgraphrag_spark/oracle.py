@@ -563,10 +563,14 @@ def mentions_select() -> str:
     )
 
 
-def mentions_gleaned_select(cfg: PipelineConfig = DEFAULT) -> str:
-    """E1 gleaning twin: base mentions plus the round-2 recovered tokens of
-    length mention_min_len-1 with the '(gleaned)' description tag."""
+def mentions_gleaned_select(cfg: PipelineConfig = DEFAULT, rounds: int = 1) -> str:
+    """E1 gleaning twin: base mentions plus every gleaning round's recovered
+    tokens — round r digs up tokens of length mention_min_len-1-r (floored
+    at the extractor's GLEAN_FLOOR), tagged '(gleaned)'."""
+    from .operators.extractor import GLEAN_FLOOR
+
     mlen, clen = cfg.mention_min_len, cfg.concept_min_len
+    lo = max(mlen - rounds, GLEAN_FLOOR)
     return f"""
 SELECT doc_id, chunk_id, entity_name, entity_type, description, source_id
 FROM mentions
@@ -576,7 +580,7 @@ SELECT DISTINCT doc_id, chunk_id, upper(tok) AS entity_name,
             WHEN pos % 2 = 0 THEN 'TERM' ELSE 'LABEL' END AS entity_type,
        tok || ' in ' || chunk_id || ' (gleaned)' AS description,
        chunk_id AS source_id
-FROM ctoks WHERE len(tok) = {mlen - 1}
+FROM ctoks WHERE len(tok) BETWEEN {lo} AND {mlen - 1}
 """
 
 

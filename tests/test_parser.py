@@ -109,3 +109,31 @@ def test_decode_applies_clean_str(spark):
     )
     m = extractor.decode_mentions(extractor.parse_records(raw)).collect()
     assert [(r.entity_name, r.description) for r in m] == [("A&B", "d<e")]
+
+
+def test_gleaning_rounds_recover_progressively_shorter_tokens(spark):
+    """Depth-2 gleaning: round 1 recovers len-4 tokens the base pass missed,
+    round 2 recovers len-3 tokens round 1 ALSO missed; deeper configs
+    converge (GLEAN_FLOOR) and add nothing further."""
+    from dataclasses import replace
+
+    from mmgraphrag_spark.config import DEFAULT
+
+    chunks = spark.createDataFrame(
+        [("d1", "chunk-g", "alpha four thr xx")],
+        "doc_id string, chunk_id string, content string",
+    )
+
+    def names(rounds):
+        cfg = replace(DEFAULT, gleaning_rounds=rounds)
+        parsed = extractor.parse_records(extractor.extract_raw(chunks, cfg=cfg))
+        return {
+            r.entity_name
+            for r in extractor.decode_mentions(parsed).collect()
+        }
+
+    base, g1, g2, g9 = names(0), names(1), names(2), names(9)
+    assert base == {"ALPHA"}                      # len >= 5 only
+    assert g1 == {"ALPHA", "FOUR"}                # + len-4 (round 1)
+    assert g2 == {"ALPHA", "FOUR", "THR"}         # + len-3 (round 2)
+    assert g9 == g2                               # converged at the floor
