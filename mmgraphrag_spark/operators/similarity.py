@@ -185,6 +185,64 @@ def ivf_centroids(qe: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+def ivf_centroids_kmeans(
+    qe: DataFrame, n_centroids: int = 16, max_iter: int = 10, seed: int = 7,
+) -> DataFrame:
+    """(cent_id, cv, cn): k-means|| coarse quantizer — the production IVF
+    path (pyspark.ml.clustering.KMeans, init='k-means||').
+
+    Same output contract as :func:`ivf_centroids` (integer component
+    vectors + integer squared norm), so every downstream shape —
+    map-side-argmax assignment, nprobe probing, per-list scoring — is
+    unchanged; only the centroid DATA differs. Real IVF wants ~sqrt(n)
+    balanced centroids: k-means minimizes within-list variance, so lists
+    are tight and nprobe lists cover the true neighbors far more often
+    than the md5-sampled seeds (recall\\@k measured in
+    tests/test_dedup_similarity.py). The md5 sample stays as the
+    deterministic DuckDB-oracle path; k-means|| is NOT reproducible in SQL
+    (iterative), which is exactly the documented split between oracle
+    quantizer and production quantizer.
+
+    Scale: k-means|| is the distributed init (O(iter) passes, each a
+    map-side cost aggregation); fitting on a sampled fraction is the
+    standard further cut at 10^12 rows — pass ``qe.sample(...)``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = qe.select(
+        "vec_id", array_to_vector(F.col("q").cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, maxIter=max_iter, seed=seed, initMode="k-means||"
+    ).fit(feat)
+    spark = qe.sparkSession
+    cents = spark.createDataFrame(
+        [(i,) for i in range(len(model.clusterCenters()))], "cent_id int"
+    ).join(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cent_id int, craw array<double>",
+        ),
+        "cent_id",
+    )
+    # quantize centroid components to the same integer domain as q
+    dims = len(model.clusterCenters()[0])
+    comps = [
+        F.round(F.get("craw", i)).cast("long").alias(f"_c{i}") for i in range(dims)
+    ]
+    flat = cents.select((F.col("cent_id") + 1).alias("cent_id"), *comps)
+    n = None
+    for i in range(dims):
+        t = F.col(f"_c{i}") * F.col(f"_c{i}")
+        n = t if n is None else n + t
+    return flat.select(
+        "cent_id",
+        F.array(*[F.col(f"_c{i}") for i in range(dims)]).alias("cv"),
+        n.alias("cn"),
+    )
+
+
 def _rank_against_centroids(vecs: DataFrame, cents: DataFrame, dims: int) -> DataFrame:
     """vec x centroid exact-integer cosine rank (broadcast cross join: K is
     small by construction; n·K rows, linear in corpus size)."""
@@ -220,7 +278,7 @@ def ivf_assign(qe: DataFrame, cents: DataFrame, dims: int) -> DataFrame:
 
 def ann_ivf_topk(
     spark, sf_dir: str, k: int = 5, n_queries: int = 10,
-    n_centroids: int = 16, nprobe: int = 4,
+    n_centroids: int = 16, nprobe: int = 4, quantizer: str = "md5",
 ) -> DataFrame:
     """(qid, cid, dot, rank_key, rnk): IVF top-k — the partition-pruned path.
 
@@ -233,7 +291,10 @@ def ann_ivf_topk(
     """
     dims = embedding_dims(spark, sf_dir)
     qe = quantized_embeddings(spark, sf_dir)
-    cents = ivf_centroids(qe, n_centroids)
+    if quantizer == "kmeans":
+        cents = ivf_centroids_kmeans(qe, n_centroids)
+    else:
+        cents = ivf_centroids(qe, n_centroids)
     assign = ivf_assign(qe, cents, dims)
 
     queries = qe.filter(F.col("vec_id") < n_queries)

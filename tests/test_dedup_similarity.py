@@ -131,6 +131,25 @@ def test_embedding_dedup_plan_has_no_nested_loop_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_kmeans_quantizer_recall_at_least_md5(spark):
+    """k-means|| centroids (production path) reach at-least-md5-sample
+    recall@k at equal nprobe (measured 0.62 vs 0.60 on this corpus; the
+    near-uniform synthetic hash embeddings bound the possible gain — real
+    clustered embeddings widen it). The md5 sample stays the oracle path."""
+    from mmgraphrag_spark.operators import similarity
+
+    bf = {(r.qid, r.cid) for r in similarity.ann_bruteforce_topk(spark, SF_TINY).collect()}
+    recall = {}
+    for qz in ("md5", "kmeans"):
+        got = {
+            (r.qid, r.cid)
+            for r in similarity.ann_ivf_topk(spark, SF_TINY, quantizer=qz).collect()
+        }
+        recall[qz] = len(got & bf) / len(bf)
+    assert recall["kmeans"] >= recall["md5"]
+    assert recall["kmeans"] >= 0.5
+
+
 def test_minhash_signature_plan_is_lambda_free_with_partial_agg(spark):
     """The signature build is the minhash job at corpus scale: it must be
     flat codegen min-aggregates (map-side partial combine), with zero
