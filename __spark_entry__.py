@@ -92,6 +92,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": lambda s, d: similarity.ann_bruteforce_topk(s, d),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(s, d),
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(s, d),
+        # k-means|| quantizer path: iterative fit, not SQL-expressible ->
+        # rows-only driver check; recall vs brute force is pytest-asserted
+        "ann_ivf_kmeans_topk": lambda s, d: similarity.ann_ivf_topk(
+            s, d, quantizer="kmeans"
+        ),
         "text_token_stats": lambda s, d: textstats.token_stats(dedup.docs_table(s, d)),
         "text_quality": lambda s, d: textstats.quality_scores(dedup.docs_table(s, d)),
         "text_langid": lambda s, d: textstats.language_id(dedup.docs_table(s, d)),
