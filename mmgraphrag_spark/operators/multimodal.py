@@ -108,3 +108,67 @@ def frame_samples(payloads: DataFrame, n_frames: int = 3, frame_bytes: int = 16)
     return payloads.select("media_ref", "payload").mapInPandas(
         run, schema=FRAME_SCHEMA
     )
+
+
+COMPRESS_SCHEMA = (
+    "media_ref string, quality int, byte_len long, fits boolean, payload binary"
+)
+
+
+def _fake_encoder(payload: bytes, quality: int) -> bytes:
+    """Deterministic stand-in for a JPEG re-encode at ``quality``: keeps a
+    quality-proportional prefix (monotone in quality, like a real encoder's
+    size/quality curve). Production swap point: PIL ``img.save(quality=q)``."""
+    keep = max(1, (len(payload) * quality) // 100)
+    return payload[:keep]
+
+
+def compress_media(
+    payloads: DataFrame,
+    target_bytes: int = 5 * 1024 * 1024,
+    quality: int = 90,
+    step: int = 10,
+    floor: int = 10,
+    encoder: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """S10 — the reference's compress-to-target sink
+    (/root/reference/mmgraphrag/preprocessing.py:264-296): re-encode at
+    ``quality``, then step quality down by ``step`` until the payload fits
+    ``target_bytes`` or quality would drop below ``floor``; report whether
+    the final size fits (the reference prints a warning and keeps the file).
+
+    Arrow-batched mapInPandas: the quality ladder runs per image INSIDE the
+    executor batch (bounded ≤ (quality-floor)/step + 1 encodes, exactly the
+    reference's loop); bytes never visit the driver. ``encoder(payload,
+    quality) -> bytes`` is the PIL swap point; the default deterministic
+    fake has a real encoder's monotone size/quality shape, so the loop
+    logic (first-fit quality, floor stop) is fully tested here.
+    """
+    import pandas as pd
+
+    enc = encoder or _fake_encoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "quality": [], "byte_len": [],
+                   "fits": [], "payload": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                data = bytes(payload)
+                q = quality
+                body = enc(data, q)
+                # reference loop shape: test quality > floor BEFORE each
+                # decrement (preprocessing.py:286-289), so the last encode
+                # happens exactly at quality == floor
+                while len(body) > target_bytes and q > floor:
+                    q -= step
+                    body = enc(data, q)
+                out["media_ref"].append(ref)
+                out["quality"].append(q)
+                out["byte_len"].append(len(body))
+                out["fits"].append(len(body) <= target_bytes)
+                out["payload"].append(body)
+            yield pd.DataFrame(out)
+
+    return payloads.select("media_ref", "payload").mapInPandas(
+        run, schema=COMPRESS_SCHEMA
+    )

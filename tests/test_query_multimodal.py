@@ -117,3 +117,29 @@ def test_render_context_reference_layout(spark):
     n_seeds = seeds.count()
     assert n_seeds > 0
     assert "\n0,\t" in out.replace("\n    ", "\n")
+
+
+def test_compress_media_quality_ladder_matches_reference_loop(spark):
+    """S10: first-fit quality stepping 90→floor exactly like the reference
+    (initial encode at 90, re-encode while over target AND quality > floor;
+    last encode lands on the floor; oversize-at-floor keeps the file with
+    fits=False)."""
+    rows = [
+        ("small", b"x" * 100),          # fits at quality 90
+        ("mid", b"y" * 2000),           # fits after a few steps
+        ("huge", b"z" * 100_000),       # cannot fit even at the floor
+    ]
+    pay = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {
+        r.media_ref: r
+        for r in multimodal.compress_media(pay, target_bytes=1000).collect()
+    }
+    assert got["small"].quality == 90 and got["small"].fits
+    # mid: 2000 bytes * q/100 <= 1000 first at q=50
+    assert got["mid"].quality == 50 and got["mid"].fits
+    assert got["mid"].byte_len == 1000
+    # huge: ladder bottoms out at the floor, file kept, flagged not-fitting
+    assert got["huge"].quality == 10 and not got["huge"].fits
+    assert got["huge"].byte_len == 10_000
+    # payload column round-trips executor-side
+    assert bytes(got["mid"].payload) == b"y" * 1000
