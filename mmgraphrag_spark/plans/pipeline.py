@@ -44,8 +44,34 @@ class Pipeline:
     work_dir: str
     cfg: PipelineConfig = field(default_factory=lambda: DEFAULT)
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    # Alternative spans front end: None = the driver-table derivation
+    # (documents.parquet -> synth spans). A (kind, path) pair swaps in a
+    # real ingestion source for the spans stage — everything downstream is
+    # unchanged (the whole engine consumes the one spans relation):
+    #   ("mineru", ".../auto/*_content_list.json")  sources/mineru.py
+    #   ("docx",   ".../*.docx")                    sources/docx.py
+    #   ("pdf",    ".../*.pdf")                     sources/pdf.py
+    source: tuple[str, str] | None = None
     _metrics_buf: list = field(default_factory=list, repr=False)
     _lineage_buf: list = field(default_factory=list, repr=False)
+
+    def _source_spans(self) -> DataFrame:
+        kind, path = self.source
+        if kind == "mineru":
+            from ..sources import mineru
+
+            return mineru.content_list_spans(
+                mineru.read_content_lists(self.spark, path)
+            )
+        if kind == "docx":
+            from ..sources import docx
+
+            return docx.docx_spans(self.spark, path)
+        if kind == "pdf":
+            from ..sources import pdf
+
+            return pdf.pdf_spans(self.spark, path)
+        raise ValueError(f"unknown source kind: {kind!r}")
 
     # ---- storage helpers ----------------------------------------------------
 
@@ -183,6 +209,8 @@ class Pipeline:
         cfg = self.cfg
 
         def _spans():
+            if self.source is not None:
+                return {"spans": self._source_spans()}
             # source table may be a single small file (one scan split) while
             # the explode multiplies rows ~5x — spread the scan up to compute
             # parallelism so the span derivation + write use every core.
@@ -282,7 +310,11 @@ class Pipeline:
 
         # name -> (dep stages, lineage inputs, output tables, builder)
         dag: dict[str, tuple[list[str], list[str], list[str], object]] = {
-            "spans": ([], [f"{self.sf_dir}/documents.parquet"], ["spans"], _spans),
+            "spans": (
+                [],
+                [self.source[1] if self.source else f"{self.sf_dir}/documents.parquet"],
+                ["spans"], _spans,
+            ),
             "chunks": (["spans"], ["spans"], ["chunks"], _chunks),
             "extract_raw": (["chunks"], ["chunks"], ["extraction_raw"], _extract_raw),
             "decode": (["extract_raw"], ["extraction_raw"],

@@ -195,3 +195,24 @@ def test_pdf_spans_drive_pipeline(spark, tmp_path):
     chunks = chunker.chunk_docs(synth.nest_spans(spans))
     mentions, triples = extractor.extract_mentions_and_triples(chunks)
     assert mentions.count() > 0 and triples.count() > 0
+
+
+def test_full_pipeline_runs_from_mineru_source(spark, tmp_path):
+    """The whole checkpointed KG pipeline runs end-to-end from the
+    reference's REAL MinerU content list as the spans front end — nodes and
+    edges materialize, spans checkpoint carries the 204-item sequence."""
+    from mmgraphrag_spark.plans.pipeline import Pipeline
+
+    work = str(tmp_path / "work")
+    pipe = Pipeline(
+        spark, sf_dir="unused", work_dir=work,
+        source=("mineru", REF_CONTENT_LIST),
+    )
+    ran = pipe.run(resume=False, parallel=False)
+    assert all(ran.values())
+    assert spark.read.parquet(f"{work}/spans").count() == 204
+    nodes = spark.read.parquet(f"{work}/nodes")
+    edges = spark.read.parquet(f"{work}/edges")
+    assert nodes.count() > 100 and edges.count() > 100
+    # media side populated from the 12 img_path items
+    assert spark.read.parquet(f"{work}/img_mentions").count() > 0
