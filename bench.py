@@ -61,8 +61,12 @@ def main() -> None:
         shutil.rmtree(os.path.join(work, "_warm_out"), ignore_errors=True)
 
         pipe = Pipeline(spark, sf_dir, work)
+        # SPARK_GRAFT_SERIAL=1 runs the DAG serially (A/B for stage-overlap
+        # contention studies; default stays concurrent, which is right for
+        # real clusters where branches use disjoint memory buses)
+        serial = os.environ.get("SPARK_GRAFT_SERIAL") == "1"
         t0 = time.perf_counter()
-        pipe.run(resume=False)
+        pipe.run(resume=False, parallel=not serial)
         total = round(time.perf_counter() - t0, 3)
 
         lin = pipe.lineage().toPandas()
