@@ -200,7 +200,7 @@ def main() -> None:
         f"{round((cpu_sum(results[(lo, hi)][1]) or 0) / max(cpu_sum(results[(lo, hi)][0]) or 1, 1), 2)}x |"
         for lo, hi in pairs
     )
-    md = f"""# BENCH/BASELINE — measured throughput & scaling ({ts}, round 2)
+    md = f"""# BENCH/BASELINE — measured throughput & scaling ({ts}, round 3)
 
 Same job (end-to-end checkpointed KG construction, bench.py) on identical
 input at two parallelism-level pairs — the sandbox stand-in for N vs 4N
@@ -208,7 +208,14 @@ executors (no real cluster available; method per driver instruction). Input =
 FIXTURES.md bench fixture: {n_docs} docs ({replicas}x sf0.1 with per-replica
 token suffixes; content-hash dedup cannot collapse replicas). Wall times are
 the min over {rounds} health-gated, level-alternating rounds (the host has
-multi-minute noisy-neighbor phases; see PLANS.md).
+multi-minute noisy-neighbor phases; see PLANS.md). The harness runs the
+stage DAG SERIALLY on this single host (measured: serial 67.2 s vs
+concurrent 83.8 s at 32 threads, equal at 8 — overlapping branches contend
+for the one memory bus; on a real multi-executor cluster branches use
+disjoint buses and Pipeline.run(parallel=True), the engine default, is the
+right schedule). Companion notes: BENCH/INVERSION.md (the round-2
+per-stage 16->32 "inversion" was concurrent-wall accounting),
+BENCH/SKEW.md (salted-aggregate crossover).
 
 ## Host scaling ceiling (tools/hostprobe.py — re-runnable, no repo deps)
 
@@ -263,10 +270,9 @@ what the plan-shape audit (PLANS.md) is designed to preserve: every stage
 hash-partitions on its blocking key (entity_name, (src,dst), media_ref,
 band bucket) with map-side partial aggregation; broadcasts bounded by
 merge-map/seed sizes; zero driver-side loops; zero per-row Python (Arrow
-batches only); independent DAG branches submitted concurrently so stage
-tails overlap.
+batches only).
 
-## Round-2 pipeline fixes that this measurement reflects
+## Pipeline fixes this measurement reflects (rounds 2-3)
 
 1. lineage/metrics checkpoint bookkeeping moved off the Spark job path
    (driver-side pyarrow) — was ~16 single-task jobs x 4-6 s of serial wall.
@@ -275,12 +281,15 @@ tails overlap.
    straggler).
 3. source scans spread to compute parallelism when the input is a single
    small file (50k-doc documents.parquet is one 5.8 MB scan split).
-4. independent pipeline stages (media/fusion branch vs chunk/extract/decode
-   chain) run concurrently — stage tails no longer idle the cluster.
+4. stage DAG run serially in the local bench (see header note); the
+   concurrent schedule remains the engine default for real clusters.
 5. bench warm-up now runs the full pipeline once untimed on a 1k-doc slice:
    JIT + Python-worker pool + parquet reader priming (a long-lived cluster
    pays these once at deploy, not per job). Cold-vs-warm on identical
    data/parallelism measured 20-45 s vs 6-18 s for the decode stage alone.
+
+6. round 3: MinHash signature build de-HOFed (flat min-aggregates,
+   PLANS.md round-3 audit) — off the bench path but the same policy.
 
 Environment mitigations (PLANS.md): shuffle dirs + checkpoints on tmpfs
 (block device has multi-second file-create bursts), parquet stats truncated,
