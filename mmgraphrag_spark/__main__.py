@@ -21,11 +21,18 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser(prog="mmgraphrag_spark")
-    ap.add_argument("--sf-dir", required=True, help="input table directory")
+    ap.add_argument("--sf-dir", default="", help="input table directory")
     ap.add_argument("--work-dir", required=True, help="checkpoint/output directory")
     ap.add_argument("--no-resume", action="store_true",
                     help="recompute every stage even if checkpoints exist")
+    ap.add_argument(
+        "--source", default=None, metavar="KIND=PATH",
+        help="real-ingestion front end instead of the documents table: "
+             "mineru=<glob of *_content_list.json>, docx=<glob>, pdf=<glob>",
+    )
     args = ap.parse_args()
+    if not args.sf_dir and not args.source:
+        ap.error("one of --sf-dir or --source is required")
 
     from pyspark.sql import SparkSession
 
@@ -37,7 +44,11 @@ def main() -> None:
 
     from .plans.pipeline import Pipeline
 
-    pipe = Pipeline(spark, args.sf_dir, args.work_dir)
+    source = None
+    if args.source:
+        kind, _, path = args.source.partition("=")
+        source = (kind, path)
+    pipe = Pipeline(spark, args.sf_dir, args.work_dir, source=source)
     ran = pipe.run(resume=not args.no_resume)
     lin = pipe.lineage().toPandas()
     rows = lin.drop_duplicates("output").set_index("output")["rows_out"]
