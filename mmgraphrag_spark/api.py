@@ -262,3 +262,39 @@ def qctx_chunks(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
 
 def qctx_top_media(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     return query_ctx.top_media_entities(nodes(spark, sf_dir, cfg))
+
+
+def local_answer_prompts(
+    spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT,
+    query: str | None = None, response_type: str | None = None,
+) -> dict:
+    """The complete query lifecycle deliverable (reference query.py:313-470):
+    seed → context → rendered CSV blocks → the filled answer-prompt chain.
+
+    Returns {"context": str, "augmented": str, "mm_entities": [...],
+    "multimodal": [...], "needs_merge": bool}. The LLM calls themselves are
+    the production swap point; every string here is byte-compatible with
+    what the reference sends its models."""
+    from .functions import prompt_templates as T
+    from .operators import answer
+
+    q = query or cfg.qctx_query
+    rt = response_type or T.DEFAULT_RESPONSE_TYPE
+    n, e = nodes(spark, sf_dir, cfg), edges(spark, sf_dir, cfg)
+    seeds = query_ctx.seed_entities(n, e, q, cfg.qctx_k)
+    ctx_edges = query_ctx.context_edges(n, e, q, cfg.qctx_k, cfg.qctx_token_budget)
+    ch = chunks(spark, sf_dir, cfg)
+    ctx_chunks = query_ctx.context_chunks(n, e, ch, q, cfg.qctx_k)
+    ents_csv, _, _ = query_ctx.context_blocks(seeds, ctx_edges, ctx_chunks, ch)
+    context = query_ctx.render_context(seeds, ctx_edges, ctx_chunks, ch)
+    # media info for the mm prompts: ORI_IMG captions from the media table
+    med = media_table(spark, sf_dir, cfg)
+    # keys = lowercase ORI_IMG entity names (the scrape lowercases the
+    # upper(media_ref) node names, so lower(media_ref) is the join key)
+    info = {
+        r.media_ref.lower(): (r.context, "")
+        for r in med.select("media_ref", "context").collect()
+    }
+    chain = answer.assemble_answer_chain(context, ents_csv, info, rt)
+    chain["context"] = context
+    return chain

@@ -101,3 +101,20 @@ def test_assemble_answer_chain_end_to_end():
     assert "cap, foot" in chain["multimodal"][0]
     assert chain["needs_merge"] is True
     assert "CTX" in chain["augmented"]
+
+
+def test_api_local_answer_prompts_end_to_end(spark):
+    """The whole query lifecycle on the tiny corpus: context renders, the
+    augmented prompt embeds it, ORI_IMG entities (if any ranked into the
+    seed set) resolve to media captions for the mm prompts."""
+    from conftest import SF_TINY
+
+    from mmgraphrag_spark import api
+
+    out = api.local_answer_prompts(spark, SF_TINY)
+    assert out["context"].count("```csv") == 3
+    assert out["context"] in out["augmented"]
+    assert isinstance(out["mm_entities"], list)
+    assert out["needs_merge"] == bool(out["multimodal"])
+    for p in out["multimodal"]:
+        assert out["context"] in p
