@@ -57,7 +57,12 @@ def main() -> None:
     from mmgraphrag_spark.session import get_spark
 
     spark = get_spark("minhashbench", cores=cores)
-    docs = dedup.docs_table(spark, sf_dir)
+    # spread the scan to compute parallelism (the single-file local fixture
+    # yields ~3 splits; a production corpus scan yields thousands) so the
+    # A/B measures the EXPRESSION cost, not a 3-way parallelism collapse
+    docs = dedup.docs_table(spark, sf_dir).repartition(cores)
+    docs.write.mode("overwrite").parquet("/dev/shm/minhash_in")
+    docs = spark.read.parquet("/dev/shm/minhash_in")
     docs.count()  # warm the scan
 
     for tag, build in (
@@ -68,9 +73,12 @@ def main() -> None:
         for _ in range(reps):
             _healthy(max_wait_s=300)
             t0 = time.perf_counter()
-            n = build().count()
+            # parquet write forces FULL evaluation of every signature value
+            # (a bare count() lets Catalyst prune the md5 expressions away,
+            # which silently benchmarks the file scan instead)
+            build().write.mode("overwrite").parquet("/dev/shm/minhash_out")
             walls.append(round(time.perf_counter() - t0, 2))
-        print({"variant": tag, "rows": n, "cores": cores,
+        print({"variant": tag, "cores": cores,
                "walls": walls, "min": min(walls)})
 
 
