@@ -19,6 +19,33 @@ import argparse
 import json
 
 
+def _local_query(spark, work_dir: str, query: str) -> dict:
+    """Reference local-query lifecycle (query.py:313-470) over the
+    checkpoint tables a prior index run produced: seed entities, budgeted
+    context edges/chunks, rendered CSV context, filled prompt chain."""
+    from .config import DEFAULT
+    from .operators import answer, media, query_ctx
+
+    nodes = spark.read.parquet(f"{work_dir}/nodes")
+    edges = spark.read.parquet(f"{work_dir}/edges")
+    chunks = spark.read.parquet(f"{work_dir}/chunks")
+    k, budget = DEFAULT.qctx_k, DEFAULT.qctx_token_budget
+    seeds = query_ctx.seed_entities(nodes, edges, query, k)
+    ctx_edges = query_ctx.context_edges(nodes, edges, query, k, budget)
+    ctx_chunks = query_ctx.context_chunks(nodes, edges, chunks, query, k)
+    ents_csv, _, _ = query_ctx.context_blocks(seeds, ctx_edges, ctx_chunks, chunks)
+    context = query_ctx.render_context(seeds, ctx_edges, ctx_chunks, chunks)
+    med = media.media_spans(spark.read.parquet(f"{work_dir}/spans"))
+    info = {
+        r.media_ref.lower(): (r.context, "")
+        for r in med.select("media_ref", "context").collect()
+    }
+    chain = answer.assemble_answer_chain(context, ents_csv, info)
+    chain["context"] = context
+    chain["query"] = query
+    return chain
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="mmgraphrag_spark")
     ap.add_argument("--sf-dir", default="", help="input table directory")
@@ -30,9 +57,15 @@ def main() -> None:
         help="real-ingestion front end instead of the documents table: "
              "mineru=<glob of *_content_list.json>, docx=<glob>, pdf=<glob>",
     )
+    ap.add_argument(
+        "--query", default=None, metavar="TEXT",
+        help="local query path against an ALREADY-INDEXED --work-dir: "
+             "print the context CSV + the filled answer-prompt chain as "
+             "JSON (the reference lifecycle's second half, sans LLM calls)",
+    )
     args = ap.parse_args()
-    if not args.sf_dir and not args.source:
-        ap.error("one of --sf-dir or --source is required")
+    if args.query is None and not args.sf_dir and not args.source:
+        ap.error("one of --sf-dir or --source is required (or --query)")
 
     from pyspark.sql import SparkSession
 
@@ -43,6 +76,10 @@ def main() -> None:
         spark = get_spark("mmgraphrag_spark")
 
     from .plans.pipeline import Pipeline
+
+    if args.query is not None:
+        print(json.dumps(_local_query(spark, args.work_dir, args.query)))
+        return
 
     source = None
     if args.source:

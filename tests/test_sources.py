@@ -216,3 +216,11 @@ def test_full_pipeline_runs_from_mineru_source(spark, tmp_path):
     assert nodes.count() > 100 and edges.count() > 100
     # media side populated from the 12 img_path items
     assert spark.read.parquet(f"{work}/img_mentions").count() > 0
+
+    # the CLI's query half runs over the same work dir: context renders,
+    # the augmented prompt embeds it (reference index->query lifecycle)
+    from mmgraphrag_spark.__main__ import _local_query
+
+    out = _local_query(spark, work, "dice loss for data imbalanced tasks")
+    assert out["context"].count("```csv") == 3
+    assert out["context"] in out["augmented"]
