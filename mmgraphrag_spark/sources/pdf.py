@@ -45,7 +45,13 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
 # (..) Tj   (..) '   [ .. ] TJ
 _SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')|\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.S)
+# inside a TJ array: literal strings interleaved with kerning numbers
+_ARRAY_TOK_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|(-?\d+(?:\.\d+)?)", re.S)
 _ARRAY_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)", re.S)
+# a TJ kern adjustment at or beyond this magnitude (thousandths of an em,
+# applied negatively) renders as an inter-word gap — the standard heuristic
+# for PDFs that kern word spaces instead of emitting space glyphs
+TJ_SPACE_KERN = 120
 _ESC_RE = re.compile(rb"\\(\d{1,3}|.)", re.S)
 _DO_RE = re.compile(rb"/\w+\s+Do")
 
@@ -108,10 +114,11 @@ def parse_pdf(doc_id: str, blob: bytes, context_length: int = 100):
                     if sm.group(1) is not None:
                         parts.append(_unescape(sm.group(1)))
                     else:
-                        parts.extend(
-                            _unescape(x.group(1))
-                            for x in _ARRAY_STR_RE.finditer(sm.group(2))
-                        )
+                        for x in _ARRAY_TOK_RE.finditer(sm.group(2)):
+                            if x.group(1) is not None:
+                                parts.append(_unescape(x.group(1)))
+                            elif float(x.group(2)) <= -TJ_SPACE_KERN:
+                                parts.append(b" ")
                 text = b"".join(parts).decode("latin-1").strip()
                 if text:
                     pieces.append(("text", text))

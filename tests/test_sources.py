@@ -224,3 +224,18 @@ def test_full_pipeline_runs_from_mineru_source(spark, tmp_path):
     out = _local_query(spark, work, "dice loss for data imbalanced tasks")
     assert out["context"].count("```csv") == 3
     assert out["context"] in out["augmented"]
+
+
+def test_pdf_reader_extracts_real_acl_paper_text():
+    """The subset reader handles the reference's REAL example PDF (pure
+    function, no Spark): FlateDecode content streams, TJ arrays with
+    kerned word spaces. Known phrases from the paper must surface."""
+    blob = open("/root/reference/example_input/2020.acl-main.45.pdf", "rb").read()
+    spans, _ = pdf.parse_pdf("acl45", blob)
+    texts = [s[2] for s in spans if s[1] == "text"]
+    assert len(texts) > 100
+    full = " ".join(texts).lower()
+    for phrase in ("dice loss", "data-imbalanced", "cross entropy", "f1 score"):
+        assert phrase in full, phrase
+    # kern heuristic recovered word boundaries (not one glued blob)
+    assert sum(len(t.split()) for t in texts) > 4000
