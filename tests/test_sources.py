@@ -239,3 +239,22 @@ def test_pdf_reader_extracts_real_acl_paper_text():
         assert phrase in full, phrase
     # kern heuristic recovered word boundaries (not one glued blob)
     assert sum(len(t.split()) for t in texts) > 4000
+
+
+def test_pdf_and_mineru_front_ends_agree_on_the_same_paper(spark):
+    """Two REAL ingestion paths over the same physical document (the
+    reference's example paper: direct-PDF subset reader vs MinerU content
+    list) produce substantially the same entity inventory downstream —
+    cross-format robustness, not just per-format unit checks. (Differences
+    come from PDF line-break hyphenation and footnote text MinerU folds
+    away, so containment, not equality, is the right bar.)"""
+    def names(spans):
+        chunks = chunker.chunk_docs(synth.nest_spans(spans))
+        m, _ = extractor.extract_mentions_and_triples(chunks)
+        return {r.entity_name for r in m.select("entity_name").distinct().collect()}
+
+    a = names(pdf.pdf_spans(spark, "/root/reference/example_input/2020.acl-main.45.pdf"))
+    b = names(mineru.content_list_spans(mineru.read_content_lists(spark, REF_CONTENT_LIST)))
+    assert len(a) > 1000 and len(b) > 1000
+    containment = len(a & b) / min(len(a), len(b))
+    assert containment >= 0.5, containment
