@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup / similarity / text analysis
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
         "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
+        "dup_clusters": lambda s, d: dedup.duplicate_clusters(dedup.docs_table(s, d)),
         "dup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(dedup.docs_table(s, d)),
         "dup_simhash": lambda s, d: dedup.simhash(dedup.docs_table(s, d)),
         "dup_simhash_pairs": lambda s, d: dedup.simhash_near_duplicates(dedup.docs_table(s, d)),
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "qctx_seeds_vdb": oracle.qctx_seeds_vdb_sql(),
         "dup_exact": oracle_extra.dup_exact_sql(),
         "dup_minhash": oracle_extra.dup_minhash_sql(),
+        "dup_clusters": oracle_extra.dup_clusters_sql(),
         "dup_ngram_jaccard": oracle_extra.ngram_jaccard_sql(),
         "dup_simhash": oracle_extra.dup_simhash_sql(),
         "dup_simhash_pairs": oracle_extra.dup_simhash_pairs_sql(),

@@ -445,3 +445,72 @@ def ngram_jaccard_pairs(
     return j.filter(
         F.col("jaccard_pm") >= int(threshold * 1_000_000)
     ).select("a", "b", "jaccard_pm")
+
+
+# ---- near-duplicate cluster collapse ---------------------------------------
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    cfg: PipelineConfig = DEFAULT,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_rep): connected components over the near-duplicate
+    pair graph — the collapse step a dedup pipeline actually applies (keep
+    the representative ``cluster_rep = min doc_id`` of each component, drop
+    the rest). Singleton docs are their own representative.
+
+    Distributed iterative min-label propagation: each round joins the
+    (symmetric) edge list against the current labels, takes the min of own
+    and neighbor labels with a map-side-combined groupBy, and stops when a
+    round changes nothing (driver-side count per round — the standard
+    driver-coordinated fixpoint, same tier as any iterative graph
+    algorithm; every round's work is fully distributed). Rounds needed =
+    component diameter; near-dup components are replica cliques, so 2-3
+    rounds in practice, ``max_iter`` is a backstop. Labels are
+    localCheckpointed per round so the plan does not compound.
+
+    Scale shape: edges come from the LSH-verified pair list (bounded by
+    true near-dups, not the corpus); each round is one equi-join + one
+    keyed aggregation on doc_id. At 10^12 docs swap the fixpoint for
+    large-star/small-star (same join primitives, O(log n) rounds).
+    """
+    if pairs is None:
+        pairs = minhash_near_duplicates(docs, cfg=cfg)
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("x", "doc_id")
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))

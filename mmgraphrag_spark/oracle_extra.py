@@ -62,6 +62,50 @@ WHERE len(list_intersect(sa.sh, sb.sh)) * 1000000
 """
 
 
+def dup_clusters_sql(threshold: float = 0.5, cfg: PipelineConfig = DEFAULT) -> str:
+    """Connected components over the verified minhash pair graph via a
+    recursive transitive-closure CTE: cluster_rep = min doc_id reachable
+    (singletons are their own representative) — the exact twin of the
+    Spark min-label-propagation fixpoint."""
+    perms, bands = cfg.minhash_perms, cfg.minhash_bands
+    r = perms // bands
+    t = int(threshold * 1_000_000)
+    return f"""
+WITH RECURSIVE {_shingle_cte(cfg)},
+mh AS (
+  SELECT doc_id, CAST(p.i AS INT) AS i,
+         min(md5(CAST(p.i AS VARCHAR) || '|' || u.s)) AS m
+  FROM sh, UNNEST(sh.sh) AS u(s), UNNEST(range({perms})) AS p(i)
+  GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // {r} AS band,
+         md5(string_agg(m, '|' ORDER BY i)) AS bkey
+  FROM mh GROUP BY doc_id, i // {r}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.sh, sb.sh)) * 1000000
+        // len(list_distinct(sa.sh || sb.sh)) >= {t}
+),
+edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(x, y) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+)
+SELECT x AS doc_id, min(y) AS cluster_rep FROM reach GROUP BY x
+"""
+
+
 def _simhash_cte() -> str:
     from .operators.dedup import SIMHASH_BITS
 

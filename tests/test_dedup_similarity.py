@@ -254,3 +254,37 @@ def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
     pairs at all (the cap is a real pre-join filter, not post-hoc)."""
     docs = dedup.docs_table(spark, SF_TINY)
     assert dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=1).count() == 0
+
+
+def test_duplicate_clusters_transitive_collapse(spark):
+    """Component collapse is transitive: A~B and B~C (but A!~C directly)
+    land in ONE cluster with rep = min doc_id; untouched docs are their own
+    representative."""
+    from mmgraphrag_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "y")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a long, b long"
+    )
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_duplicate_clusters_converges_on_a_path_graph(spark):
+    """Min-label propagation needs diameter rounds: a 6-node path is the
+    adversarial shape for the fixpoint (labels flow one hop per round)."""
+    from mmgraphrag_spark.operators.dedup import duplicate_clusters
+
+    n = 6
+    docs = spark.createDataFrame([(i, "t") for i in range(n)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
