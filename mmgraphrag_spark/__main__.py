@@ -58,6 +58,11 @@ def main() -> None:
              "mineru=<glob of *_content_list.json>, docx=<glob>, pdf=<glob>",
     )
     ap.add_argument(
+        "--export-graphml", default=None, metavar="PATH",
+        help="after indexing, write the fused graph as GraphML (the "
+             "reference's parity artifact format, S6)",
+    )
+    ap.add_argument(
         "--query", default=None, metavar="TEXT",
         help="local query path against an ALREADY-INDEXED --work-dir: "
              "print the context CSV + the filled answer-prompt chain as "
@@ -87,6 +92,14 @@ def main() -> None:
         source = (kind, path)
     pipe = Pipeline(spark, args.sf_dir, args.work_dir, source=source)
     ran = pipe.run(resume=not args.no_resume)
+    if args.export_graphml:
+        from .operators.graphml import export_graphml
+
+        export_graphml(
+            spark.read.parquet(f"{args.work_dir}/fused_nodes"),
+            spark.read.parquet(f"{args.work_dir}/fused_edges"),
+            args.export_graphml,
+        )
     lin = pipe.lineage().toPandas()
     rows = lin.drop_duplicates("output").set_index("output")["rows_out"]
     print(json.dumps({

@@ -48,11 +48,23 @@ MEDIA_SCHEMA = "doc_id string, media_ref string, filename string, content binary
 
 
 def _paragraphs(document_xml: bytes) -> list[tuple[str, list[str]]]:
-    """[(paragraph_text, [embed_rel_id, ...])] in document order."""
+    """[(paragraph_text, [embed_rel_id, ...])] in document order.
+
+    Runs concatenate in-order; explicit ``w:tab`` / ``w:br`` /
+    ``w:noBreakHyphen`` elements render as the separator a text reader
+    sees (python-docx's paragraph.text does the same for tabs/breaks)."""
+    sep = {f"{{{W_NS}}}tab": "\t", f"{{{W_NS}}}br": "\n",
+           f"{{{W_NS}}}noBreakHyphen": "-"}
     root = ET.fromstring(document_xml)
     out = []
     for p in root.iter(f"{{{W_NS}}}p"):
-        text = "".join(t.text or "" for t in p.iter(f"{{{W_NS}}}t"))
+        parts = []
+        for el in p.iter():
+            if el.tag == f"{{{W_NS}}}t":
+                parts.append(el.text or "")
+            elif el.tag in sep:
+                parts.append(sep[el.tag])
+        text = "".join(parts)
         embeds = [
             b.get(f"{{{R_NS}}}embed")
             for b in p.iter(f"{{{A_NS}}}blip")
