@@ -288,3 +288,37 @@ def test_duplicate_clusters_converges_on_a_path_graph(spark):
         for r in duplicate_clusters(docs, pairs=pairs).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_matches_union_find_on_random_graph(spark):
+    """Components equal a pure-python union-find on a seeded random graph
+    (independent algorithmic oracle, beyond the driver's recursive CTE)."""
+    import random
+
+    from mmgraphrag_spark.operators.dedup import duplicate_clusters
+
+    rng = random.Random(42)
+    n = 40
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(50)})
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    docs = spark.createDataFrame([(i, "t") for i in range(n)], "doc_id long, text string")
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == want
