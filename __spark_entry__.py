@@ -21,7 +21,7 @@ from dataclasses import replace  # noqa: E402
 from mmgraphrag_spark import api, oracle, oracle_extra, synth  # noqa: E402
 from mmgraphrag_spark.config import DEFAULT  # noqa: E402
 from mmgraphrag_spark.operators import dedup, similarity, textstats  # noqa: E402
-from mmgraphrag_spark.sources import mineru  # noqa: E402
+from mmgraphrag_spark.sources import docx, mineru, pdf  # noqa: E402
 
 # S3 media-context word radius for the driver query (reference default is
 # 100; the synthetic docs are short, so a smaller radius keeps the
@@ -72,6 +72,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_media_context": lambda s, d: mineru.media_context(
             synth.flat_spans(s, d), CTX_WORDS
         ),
+        # S1/S2 real-format round trips: spans -> OOXML / COS bytes built
+        # executor-side -> parsed back by the real readers. The oracle
+        # re-derives the parsers' char-window image context independently,
+        # so a defect in serializer OR parser breaks parity.
+        "ingest_docx_spans": lambda s, d: docx.docx_spans_from_blobs(
+            docx.spans_to_docx(synth.flat_spans(s, d))
+        ),
+        "ingest_pdf_spans": lambda s, d: pdf.pdf_spans_from_blobs(
+            pdf.spans_to_pdf(synth.flat_spans(s, d))
+        ),
         "mm_decode": api.mm_decode,
         "mm_frames": api.mm_frames,
         "media_chunk_match": api.media_chunk_match,
@@ -110,6 +120,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),
         "ingest_media_context": oracle.q(oracle.media_context_select(CTX_WORDS)),
+        "ingest_docx_spans": oracle.q(oracle.roundtrip_spans_select()),
+        "ingest_pdf_spans": oracle.q(oracle.roundtrip_spans_select()),
         "kg_chunks": oracle.q(oracle.chunks_select()),
         "kg_mentions": oracle.q(oracle.mentions_select()),
         "kg_mentions_gleaned": oracle.q(oracle.mentions_gleaned_select()),

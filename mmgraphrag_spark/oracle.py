@@ -552,6 +552,37 @@ FROM (
 """
 
 
+def roundtrip_spans_select(n_chars: int = 100) -> str:
+    """S1/S2 serialize∘parse twin (docx.py / pdf.py round-trip queries).
+
+    A real .docx/.pdf carries no caption column, so the parsers re-derive
+    each image's context as the reference does (preprocessing.py:215-236):
+    before = last n CHARS of the concatenation of all preceding paragraph
+    texts (no separator), after = first n chars of the following ones,
+    context = trim(trim(before) || ' ' || trim(after)). Text spans and
+    media_ref/offset round-trip identically."""
+    return f"""
+SELECT doc_id, kind,
+       CASE WHEN kind = 'text' THEN text
+            ELSE trim(trim(right(bc, {n_chars})) || ' ' ||
+                      trim(left(ac, {n_chars}))) END AS text,
+       media_ref, "offset"
+FROM (
+  SELECT doc_id, kind, text, media_ref, "offset",
+         coalesce(string_agg(CASE WHEN kind = 'text' THEN text END, '')
+                  OVER w_b, '') AS bc,
+         coalesce(string_agg(CASE WHEN kind = 'text' THEN text END, '')
+                  OVER w_a, '') AS ac
+  FROM spans
+  WINDOW
+    w_b AS (PARTITION BY doc_id ORDER BY "offset"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_a AS (PARTITION BY doc_id ORDER BY "offset"
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+) t
+"""
+
+
 def chunks_select() -> str:
     return "SELECT chunk_id, doc_id, chunk_order_index, tokens, content FROM chunks"
 

@@ -178,10 +178,13 @@ def docx_media(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_docx(paragraphs: list, path: str) -> None:
-    """Minimal OOXML writer for fixtures/tests: ``paragraphs`` is a list of
-    either str (text paragraph) or ("image", jpeg_bytes) tuples. Writes a
-    valid-enough package for this reader and for python-docx."""
+def docx_bytes(paragraphs: list) -> bytes:
+    """Minimal OOXML serializer: ``paragraphs`` is a list of either str
+    (text paragraph) or ("image", jpeg_bytes) tuples. Emits a valid-enough
+    package for this reader and for python-docx. Text is XML-escaped, so
+    serialize ∘ parse is the identity on paragraph text."""
+    from xml.sax.saxutils import escape
+
     media, rel_entries, body = [], [], []
     for item in paragraphs:
         if isinstance(item, tuple) and item[0] == "image":
@@ -196,7 +199,7 @@ def write_docx(paragraphs: list, path: str) -> None:
                 f'<w:p><w:r><w:drawing><a:blip r:embed="{rid}"/></w:drawing></w:r></w:p>'
             )
         else:
-            body.append(f"<w:p><w:r><w:t>{item}</w:t></w:r></w:p>")
+            body.append(f"<w:p><w:r><w:t>{escape(item)}</w:t></w:r></w:p>")
     document = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<w:document xmlns:w="{W_NS}" xmlns:a="{A_NS}" xmlns:r="{R_NS}">'
@@ -214,9 +217,69 @@ def write_docx(paragraphs: list, path: str) -> None:
         '<Override PartName="/word/document.xml" ContentType="application/vnd.'
         'openxmlformats-officedocument.wordprocessingml.document.main+xml"/></Types>'
     )
-    with zipfile.ZipFile(path, "w") as zf:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("[Content_Types].xml", content_types)
         zf.writestr("word/document.xml", document)
         zf.writestr("word/_rels/document.xml.rels", rels)
         for name, blob in media:
             zf.writestr(f"word/{name}", blob)
+    return buf.getvalue()
+
+
+def write_docx(paragraphs: list, path: str) -> None:
+    """Fixture helper: serialize to a file (see docx_bytes)."""
+    with open(path, "wb") as f:
+        f.write(docx_bytes(paragraphs))
+
+
+def _span_items(group: "pd.DataFrame") -> list:  # noqa: F821
+    """Ordered span rows -> serializer paragraph items. Text spans become
+    text paragraphs; image spans become drawing-only paragraphs (the span's
+    caption is NOT serialized — a real .docx carries no caption column, so
+    the parser re-derives image context from the neighboring paragraphs)."""
+    items = []
+    for kind, text, ref in zip(group["kind"], group["text"], group["media_ref"]):
+        if kind == "image":
+            items.append(("image", ref.encode()))
+        else:
+            items.append(text)
+    return items
+
+
+def spans_to_docx(spans: DataFrame) -> DataFrame:
+    """Inverse source: spans relation -> (doc_id, content) .docx blobs.
+
+    One applyInPandas group per document (the same doc_id partitioning every
+    downstream stage reuses); blob bytes are built executor-side and never
+    visit the driver. With ``docx_spans_from_blobs`` this forms the
+    serialize ∘ parse round trip the driver oracle checks end-to-end."""
+    import pandas as pd
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("offset")
+        return pd.DataFrame(
+            {"doc_id": [group["doc_id"].iloc[0]],
+             "content": [docx_bytes(_span_items(group))]}
+        )
+
+    return spans.groupBy("doc_id").applyInPandas(
+        build, schema="doc_id string, content binary"
+    )
+
+
+def docx_spans_from_blobs(
+    blobs: DataFrame, context_length: int = 100
+) -> DataFrame:
+    """Parse (doc_id, content) .docx blobs -> spans (distributed)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["doc_id", "kind", "text", "media_ref", "offset"]
+        for pdf in batches:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["content"]):
+                rows.extend(parse_docx(d, bytes(blob), context_length)[0])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(run, schema=SPAN_SCHEMA)

@@ -69,12 +69,30 @@ def _unescape(s: bytes) -> bytes:
     return _ESC_RE.sub(sub, s)
 
 
+_LEN_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+
+
 def _stream_data(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
         return None
-    data = m.group(1)
-    if b"/FlateDecode" in body[: m.start()]:
+    data = None
+    lm = _LEN_RE.search(body[: sm.start()])
+    if lm:
+        # /Length is authoritative: binary stream data may itself contain
+        # \r\nendstream-looking byte runs (or END in \r, which the regex
+        # fallback's \r?\n would wrongly eat as a line ending)
+        cand = body[sm.end(): sm.end() + int(lm.group(1))]
+        if b"endstream" in body[sm.end() + len(cand): sm.end() + len(cand) + 11]:
+            data = cand
+    if data is None:
+        # no usable /Length (indirect N 0 R, or inconsistent): delimiter scan
+        m = _STREAM_RE.search(body)
+        if not m:
+            return None
+        data = m.group(1)
+    if b"/FlateDecode" in body[: sm.start()]:
         try:
             data = zlib.decompress(data)
         except zlib.error:
@@ -189,12 +207,12 @@ def pdf_media(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_pdf(pages: list, path: str) -> None:
-    """Minimal PDF writer for fixtures/tests. ``pages`` is a list of pages;
-    each page is a list of str (text line) or ("image", jpeg_bytes) items.
-    Content streams are Flate-compressed; images are /DCTDecode XObjects —
-    exercising exactly the subset the reader supports. Emits a correct
-    xref table, so standard viewers open the file too."""
+def pdf_bytes(pages: list) -> bytes:
+    """Minimal PDF serializer. ``pages`` is a list of pages; each page is a
+    list of str (text line) or ("image", jpeg_bytes) items. Content streams
+    are Flate-compressed; images are /DCTDecode XObjects — exercising
+    exactly the subset the reader supports. Emits a correct xref table, so
+    standard viewers open the file too."""
     objs: dict[int, bytes] = {}
     img_count = 0
     page_obj_ids = []
@@ -272,5 +290,55 @@ def write_pdf(pages: list, path: str) -> None:
         b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R >>\n"
         b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     )
+    return buf.getvalue()
+
+
+def write_pdf(pages: list, path: str) -> None:
+    """Fixture helper: serialize to a file (see pdf_bytes)."""
     with open(path, "wb") as f:
-        f.write(buf.getvalue())
+        f.write(pdf_bytes(pages))
+
+
+def spans_to_pdf(spans: DataFrame) -> DataFrame:
+    """Inverse source: spans relation -> (doc_id, content) .pdf blobs.
+
+    One single-page PDF per document: text spans become Tj lines, image
+    spans become /DCTDecode XObjects drawn in order (the span caption is
+    NOT serialized — a real PDF carries no caption stream, so the parser
+    re-derives image context from the neighboring text). Blob bytes are
+    built executor-side inside the applyInPandas group."""
+    import pandas as pd
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("offset")
+        items = [
+            ("image", ref.encode()) if kind == "image" else text
+            for kind, text, ref in zip(
+                group["kind"], group["text"], group["media_ref"]
+            )
+        ]
+        return pd.DataFrame(
+            {"doc_id": [group["doc_id"].iloc[0]],
+             "content": [pdf_bytes([items])]}
+        )
+
+    return spans.groupBy("doc_id").applyInPandas(
+        build, schema="doc_id string, content binary"
+    )
+
+
+def pdf_spans_from_blobs(
+    blobs: DataFrame, context_length: int = 100
+) -> DataFrame:
+    """Parse (doc_id, content) .pdf blobs -> spans (distributed)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["doc_id", "kind", "text", "media_ref", "offset"]
+        for pdf_ in batches:
+            rows = []
+            for d, blob in zip(pdf_["doc_id"], pdf_["content"]):
+                rows.extend(parse_pdf(d, bytes(blob), context_length)[0])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(run, schema=SPAN_SCHEMA)

@@ -258,3 +258,48 @@ def test_pdf_and_mineru_front_ends_agree_on_the_same_paper(spark):
     assert len(a) > 1000 and len(b) > 1000
     containment = len(a & b) / min(len(a), len(b))
     assert containment >= 0.5, containment
+
+
+# ---- S1/S2 distributed serialize ∘ parse round trips ------------------------
+
+
+def _expected_roundtrip(flat_pdf, n=100):
+    """Reference _context recomputation over a pandas spans frame."""
+    out = []
+    for _, g in flat_pdf.groupby("doc_id"):
+        g = g.sort_values("offset")
+        texts = [t if k == "text" else "" for k, t in zip(g["kind"], g["text"])]
+        for i, r in enumerate(g.itertuples()):
+            if r.kind == "text":
+                out.append((r.doc_id, "text", r.text, "", r.offset))
+            else:
+                before = "".join(texts[:i])[-n:].strip()
+                after = "".join(texts[i + 1:])[:n].strip()
+                ctx = f"{before} {after}".strip()
+                out.append((r.doc_id, "image", ctx, r.media_ref, r.offset))
+    return sorted(out)
+
+
+def test_docx_distributed_round_trip_matches_reference_context(spark):
+    """spans -> executor-built .docx blobs -> parse_docx == spans with the
+    image captions replaced by the reference's ±100-char context walk
+    (preprocessing.py:215-236); text/media_ref/offset round-trip exactly."""
+    flat = synth.flat_spans(spark, SF_TINY)
+    back = docx.docx_spans_from_blobs(docx.spans_to_docx(flat))
+    assert _rows(back) == _expected_roundtrip(flat.toPandas())
+
+
+def test_pdf_distributed_round_trip_matches_reference_context(spark):
+    """Same round trip through COS serialization: BT/Tj text + DCTDecode
+    XObject draws; the two real-format front ends agree bit-for-bit."""
+    flat = synth.flat_spans(spark, SF_TINY)
+    back = pdf.pdf_spans_from_blobs(pdf.spans_to_pdf(flat))
+    assert _rows(back) == _expected_roundtrip(flat.toPandas())
+
+
+def test_docx_serializer_escapes_xml_specials(tmp_path):
+    """Paragraph text containing XML metacharacters survives the OOXML
+    round trip (serializer escapes, ElementTree unescapes)."""
+    tricky = 'a < b && c > "d" <w:t>fake</w:t>'
+    spans, _ = docx.parse_docx("d", docx.docx_bytes([tricky, "plain"]))
+    assert spans[0][2] == tricky and spans[1][2] == "plain"
