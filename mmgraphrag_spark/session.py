@@ -68,6 +68,18 @@ def get_spark(
         # footer (observed: single-task CPU burn in serializeFooter) — 64
         # bytes of stats keep predicate pushdown useful without the weight
         .config("spark.hadoop.parquet.statistics.truncate.length", "64")
+        # zstd for shuffle + checkpoint parquet: the pipeline is
+        # bandwidth-bound, not ALU-bound (BENCH/BASELINE.md host probes),
+        # so trading spare cycles for fewer bytes is the right side of the
+        # trade. Locally the decode-stage A/B leans zstd (best 13.2 s vs
+        # 18.2 s isolated @32, within this host's noise); at cluster scale
+        # the shuffle crosses a network where zstd's ratio gain over lz4
+        # multiplies effective bisection bandwidth, and checkpoint bytes
+        # hit remote storage. Override via extra_conf / SPARK_GRAFT_CODEC.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "zstd"))
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "zstd"))
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
