@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qctx_top_media": api.qctx_top_media,
         "entity_vdb_topk": api.entity_vdb_topk,
         "qctx_seeds_vdb": api.qctx_seeds_vdb,
+        # the final query deliverables: rendered context CSV blocks + the
+        # filled answer system prompt (reference query.py:263-311, 402-405)
+        "qctx_render": api.qctx_render,
+        "qctx_prompt": api.qctx_prompt,
         # training-data pipeline: dedup / similarity / text analysis
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
         "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
@@ -147,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
         "qctx_top_media": oracle.top_media_sql(),
         "entity_vdb_topk": oracle.entity_vdb_topk_sql(),
         "qctx_seeds_vdb": oracle.qctx_seeds_vdb_sql(),
+        "qctx_render": oracle.qctx_render_sql(),
+        "qctx_prompt": oracle.qctx_prompt_sql(),
         "dup_exact": oracle_extra.dup_exact_sql(),
         "dup_minhash": oracle_extra.dup_minhash_sql(),
         "dup_clusters": oracle_extra.dup_clusters_sql(),

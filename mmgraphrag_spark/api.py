@@ -264,6 +264,42 @@ def qctx_top_media(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAU
     return query_ctx.top_media_entities(nodes(spark, sf_dir, cfg))
 
 
+def _qctx_context_dfs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig):
+    n, e = nodes(spark, sf_dir, cfg), edges(spark, sf_dir, cfg)
+    q, k = cfg.qctx_query, cfg.qctx_k
+    ch = chunks(spark, sf_dir, cfg)
+    return (
+        query_ctx.seed_entities(n, e, q, k),
+        query_ctx.context_edges(n, e, q, k, cfg.qctx_token_budget),
+        query_ctx.context_chunks(n, e, ch, q, k),
+        ch,
+    )
+
+
+def qctx_render(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """The three rendered context CSV blocks as (block, body) rows — the
+    driver-checked form of query_ctx.render_context (the rendering itself is
+    the documented driver-side serialization boundary over budget-truncated
+    context sets; the oracle twin re-derives every byte in SQL)."""
+    e, r, t = query_ctx.context_blocks(*_qctx_context_dfs(spark, sf_dir, cfg))
+    return spark.createDataFrame(
+        [("entities", e), ("relationships", r), ("sources", t)],
+        "block string, body string",
+    )
+
+
+def qctx_prompt(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """The filled local_rag_response_augmented system prompt — the final
+    text-LLM deliverable of the reference's query lifecycle
+    (query.py:402-405) as a one-row DataFrame."""
+    from .operators import answer
+
+    ctx = query_ctx.render_context(*_qctx_context_dfs(spark, sf_dir, cfg))
+    return spark.createDataFrame(
+        [(answer.augmented_prompt(ctx),)], "prompt string"
+    )
+
+
 def local_answer_prompts(
     spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT,
     query: str | None = None, response_type: str | None = None,

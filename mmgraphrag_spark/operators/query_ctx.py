@@ -238,6 +238,19 @@ def list_of_list_to_csv(data: list[list]) -> str:
     return "\n".join(",\t".join(_enclose(c) for c in row) for row in data)
 
 
+# The reference's exact section layout around the three CSV blocks
+# (query.py:263-311, an indented f-string): wrapper pieces before/between/
+# after the entities, relationships, and sources bodies. Shared with the
+# DuckDB prompt oracle (oracle.qctx_prompt_sql) so the twin concatenates the
+# identical bytes.
+CONTEXT_WRAPPER = (
+    "\n    -----Entities-----\n    ```csv\n    ",
+    "\n    ```\n    -----Relationships-----\n    ```csv\n    ",
+    "\n    ```\n    -----Sources-----\n    ```csv\n    ",
+    "\n    ```\n    ",
+)
+
+
 def render_context(
     seeds: DataFrame, edges: DataFrame, chunks: DataFrame, chunk_table: DataFrame
 ) -> str:
@@ -250,20 +263,8 @@ def render_context(
     sets (tens of rows); this is the serialization boundary, not a bulk
     operator."""
     e, r, t = context_blocks(seeds, edges, chunks, chunk_table)
-    return f"""
-    -----Entities-----
-    ```csv
-    {e}
-    ```
-    -----Relationships-----
-    ```csv
-    {r}
-    ```
-    -----Sources-----
-    ```csv
-    {t}
-    ```
-    """
+    w1, w2, w3, w4 = CONTEXT_WRAPPER
+    return f"{w1}{e}{w2}{r}{w3}{t}{w4}"
 
 
 def context_blocks(

@@ -784,6 +784,172 @@ SELECT h.entity_name, n.entity_type FROM (
     )
 
 
+# ---- context rendering + answer prompt (the final query deliverable) ------
+
+def _stripq(x: str) -> str:
+    """SQL twin of query_ctx._enclose's string normalization:
+    str(v).strip().strip("'").strip('"') — whitespace, then single quotes,
+    then double quotes, each stripped repeatedly from both ends."""
+    ws = "' ' || chr(9) || chr(10) || chr(13)"
+    return f"trim(trim(trim({x}, {ws}), chr(39)), '\"')"
+
+
+def _qcell(x: str) -> str:
+    """A string CSV cell: normalized then double-quote-wrapped."""
+    return f"'\"' || {_stripq(x)} || '\"'"
+
+
+def _csv_line(cells: list[str]) -> str:
+    """Join cell expressions with the reference's ',\\t' separator
+    (base.py:226-233 list_of_list_to_csv)."""
+    return " || ',' || chr(9) || ".join(cells)
+
+
+def _hdr(names: list[str]) -> str:
+    """Header line: every header cell is a string, so it is quote-wrapped."""
+    return ",\t".join(f'"{n}"' for n in names)
+
+
+def _render_block_ctes(cfg: PipelineConfig, token_budget: int = 400) -> str:
+    """CTEs producing one-row bodies for the three context CSV blocks
+    (entities / relationships / sources), byte-identical to
+    query_ctx.context_blocks over the same context sets."""
+    ent_line = _csv_line([
+        "CAST(rnk - 1 AS VARCHAR)",
+        _qcell("entity_name"),
+        _qcell("entity_type"),
+        "'\"UNKNOWN\"'",
+        "CAST(degree AS VARCHAR)",
+    ])
+    rel_line = _csv_line([
+        "CAST(rid AS VARCHAR)",
+        _qcell("src"),
+        _qcell("dst"),
+        _qcell("description"),
+        "CAST(weight AS VARCHAR)",
+        "CAST(edge_rank AS VARCHAR)",
+    ])
+    src_line = _csv_line([
+        "CAST(sid AS VARCHAR)",
+        _qcell("content"),
+    ])
+    ent_hdr = _hdr(["id", "entity", "type", "description", "rank"])
+    rel_hdr = _hdr(["id", "source", "target", "description", "weight", "rank"])
+    src_hdr = _hdr(["id", "content"])
+    return f""",
+rel_ranked AS (
+  SELECT t.src, t.dst, t.weight, t.description,
+         CAST(ds.degree + dd.degree AS BIGINT) AS edge_rank
+  FROM touching t
+  JOIN deg ds ON ds.entity_name = t.src
+  JOIN deg dd ON dd.entity_name = t.dst
+),
+rel_kept AS (
+  SELECT * FROM (
+    SELECT src, dst, weight, description, edge_rank,
+           sum(length(description)) OVER (
+             ORDER BY edge_rank DESC, weight DESC, src ASC, dst ASC
+             ROWS UNBOUNDED PRECEDING) AS running_tokens
+    FROM rel_ranked
+  ) WHERE running_tokens <= {cfg.qctx_token_budget}
+),
+rel_ids AS (
+  SELECT row_number() OVER (ORDER BY edge_rank DESC, weight DESC,
+                            src ASC, dst ASC) - 1 AS rid, *
+  FROM rel_kept
+),
+seed_chunks AS (
+  SELECT DISTINCT cid AS chunk_id FROM (
+    SELECT unnest(string_split(n.source_id, '<SEP>')) AS cid
+    FROM nodes n WHERE EXISTS (SELECT 1 FROM seeds s WHERE s.entity_name = n.entity_name)
+  ) u WHERE cid LIKE 'chunk-%'
+),
+edge_cites AS (
+  SELECT cid AS chunk_id, count(*) AS relation_counts FROM (
+    SELECT unnest(string_split(source_id, '<SEP>')) AS cid FROM touching
+  ) u GROUP BY 1
+),
+chunk_kept AS (
+  SELECT * FROM (
+    SELECT c.chunk_id, c.chunk_order_index, c.content,
+           CAST(coalesce(e.relation_counts, 0) AS BIGINT) AS relation_counts,
+           sum(c.tokens) OVER (
+             ORDER BY c.chunk_order_index ASC,
+                      coalesce(e.relation_counts, 0) DESC, c.chunk_id ASC
+             ROWS UNBOUNDED PRECEDING) AS running_tokens
+    FROM seed_chunks s JOIN chunks c USING (chunk_id)
+    LEFT JOIN edge_cites e ON e.chunk_id = c.chunk_id
+  ) WHERE running_tokens <= {token_budget}
+),
+chunk_ids AS (
+  SELECT row_number() OVER (ORDER BY chunk_order_index ASC,
+                            relation_counts DESC, chunk_id ASC) - 1 AS sid,
+         content
+  FROM chunk_kept
+),
+ent_body AS (
+  SELECT coalesce('{ent_hdr}' || chr(10)
+           || string_agg({ent_line}, chr(10) ORDER BY rnk),
+           '{ent_hdr}') AS body
+  FROM seeds
+),
+rel_body AS (
+  SELECT coalesce('{rel_hdr}' || chr(10)
+           || string_agg({rel_line}, chr(10) ORDER BY rid),
+           '{rel_hdr}') AS body
+  FROM rel_ids
+),
+src_body AS (
+  SELECT coalesce('{src_hdr}' || chr(10)
+           || string_agg({src_line}, chr(10) ORDER BY sid),
+           '{src_hdr}') AS body
+  FROM chunk_ids
+)"""
+
+
+def qctx_render_sql(cfg: PipelineConfig = DEFAULT, token_budget: int = 400) -> str:
+    """Twin of api.qctx_render: the three rendered context CSV blocks."""
+    return (
+        cte_prefix(cfg) + "," + _qctx_ctes(cfg)
+        + _render_block_ctes(cfg, token_budget) + """
+SELECT 'entities' AS block, (SELECT body FROM ent_body) AS body
+UNION ALL
+SELECT 'relationships' AS block, (SELECT body FROM rel_body) AS body
+UNION ALL
+SELECT 'sources' AS block, (SELECT body FROM src_body) AS body
+"""
+    )
+
+
+def qctx_prompt_sql(
+    cfg: PipelineConfig = DEFAULT, token_budget: int = 400,
+    response_type: str | None = None,
+) -> str:
+    """Twin of api.qctx_prompt: the filled local_rag_response_augmented
+    system prompt — the reference's final text-LLM deliverable
+    (query.py:402-405). The template and section wrapper are shared
+    constants (functions/prompt_templates.py mirrors prompt.py); the oracle
+    value-checks the entire context derivation feeding them."""
+    from .functions import prompt_templates as T
+    from .operators.query_ctx import CONTEXT_WRAPPER
+
+    rt = response_type or T.DEFAULT_RESPONSE_TYPE
+    tpl = T.LOCAL_RAG_RESPONSE_AUGMENTED.replace("'", "''")
+    w1, w2, w3, w4 = (p.replace("'", "''") for p in CONTEXT_WRAPPER)
+    ctx = (
+        f"'{w1}' || (SELECT body FROM ent_body) || "
+        f"'{w2}' || (SELECT body FROM rel_body) || "
+        f"'{w3}' || (SELECT body FROM src_body) || '{w4}'"
+    )
+    return (
+        cte_prefix(cfg) + "," + _qctx_ctes(cfg)
+        + _render_block_ctes(cfg, token_budget) + f"""
+SELECT replace(replace('{tpl}', '{{response_type}}', '{rt.replace("'", "''")}'),
+               '{{context_data}}', {ctx}) AS prompt
+"""
+    )
+
+
 def entity_vdb_topk_sql(
     cfg: PipelineConfig = DEFAULT, k: int = 5, threshold: float = 0.2,
     query: str | None = None,
