@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       # (NumPy-oracle-verified in pytest)
         "kg_fused_nodes": api.fused_nodes,
         "kg_fused_edges": api.fused_edges,
+        # incremental rewiring path (fusion.fuse_graph_incremental): same
+        # result relation, so it shares kg_fused_*'s oracle SQL verbatim
+        "kg_fused_nodes_incr": api.fused_nodes_incremental,
+        "kg_fused_edges_incr": api.fused_edges_incremental,
         "kg_enhanced_nodes": api.enhanced_nodes,
         "kg_enhanced_edges": api.enhanced_edges,
         # S3 MinerU ingestion: serializer ∘ parser round trip over the
@@ -139,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_clusters": oracle.q(oracle.clusters_select()),
         "kg_fused_nodes": oracle.q(oracle.fused_nodes_select()),
         "kg_fused_edges": oracle.q(oracle.fused_edges_select()),
+        "kg_fused_nodes_incr": oracle.q(oracle.fused_nodes_select()),
+        "kg_fused_edges_incr": oracle.q(oracle.fused_edges_select()),
         "kg_enhanced_nodes": oracle.q(oracle.enh_nodes_select()),
         "kg_enhanced_edges": oracle.q(oracle.enh_edges_select()),
         "mm_decode": oracle.q(oracle.mm_decode_select()),

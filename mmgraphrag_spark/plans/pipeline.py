@@ -269,10 +269,17 @@ class Pipeline:
             # nodes from the CHECKPOINT — zero recompute, zero cache memory
             # (at 100 TB, re-aggregating the triple relation twice is the
             # difference between 1x and 2x the stage's shuffle volume).
+            # nodes_base (pre-stub) is checkpointed separately: the fused
+            # stage's incremental rewiring passes untouched base rows through
+            # unchanged, but stub rows derive from edges and must be re-run
+            # against the FUSED edges — so the stub-free relation is the
+            # reusable one. It is a tiny table (one row per entity).
             return {
-                "edges": canon.build_edges(all_t),
+                "edges": canon.build_edges(all_t, cfg=cfg),
+                "nodes_base": canon.build_nodes(all_m, cfg=cfg),
                 "nodes": lambda: canon.add_stub_nodes(
-                    canon.build_nodes(all_m), self.read("edges", spread=False)
+                    self.read("nodes_base", spread=False),
+                    self.read("edges", spread=False),
                 ),
             }
 
@@ -296,16 +303,28 @@ class Pipeline:
                 self.read("triples").select(cols_t)
                 .unionByName(self.read("img_triples").select(cols_t))
             )
-            mm = fusion.merge_map_from_blocks(self.read("fusion_blocks", spread=False))
-            m2, t2 = fusion.fuse_inputs(all_m, all_t, mm)
-            # same edges-in-both-writes dedup as the graph stage: fused
-            # nodes derive from the fused_edges CHECKPOINT
+            mm = fusion.merge_map_from_blocks(
+                self.read("fusion_blocks", spread=False)
+            ).persist()
+            # INCREMENTAL rewiring: the graph stage already aggregated the
+            # full mention/triple relations; only keys the merge map touches
+            # re-aggregate from raw (fusion.fuse_edges_incremental docstring
+            # has the exactness argument). Cold rows pass through from the
+            # edges / nodes_base checkpoints with no exchange; at production
+            # scale the fused stage's shuffle is proportional to the merge
+            # map's blast radius, not to the corpus. Stubs re-derive from
+            # the fused_edges CHECKPOINT (same dedup as the graph stage).
             return {
-                "fused_edges": canon.build_edges(t2),
+                "fused_edges": fusion.fuse_edges_incremental(
+                    self.read("edges", spread=False), all_t, mm, cfg=cfg
+                ),
                 "fused_nodes": lambda: canon.add_stub_nodes(
-                    canon.build_nodes(m2),
+                    fusion.fuse_nodes_incremental(
+                        self.read("nodes_base", spread=False), all_m, mm, cfg=cfg
+                    ),
                     self.read("fused_edges", spread=False),
                 ),
+                "__cleanup__": lambda: mm.unpersist(),
             }
 
         # name -> (dep stages, lineage inputs, output tables, builder)
@@ -322,12 +341,13 @@ class Pipeline:
             "media": (["spans"], ["spans"], ["img_mentions", "img_triples"], _media),
             "graph": (["decode", "media"],
                       ["mentions", "triples", "img_mentions", "img_triples"],
-                      ["nodes", "edges"], _graph),
+                      ["nodes", "nodes_base", "edges"], _graph),
             "fusion": (["spans", "media"], ["spans", "img_mentions"],
                        ["fusion_blocks"], _fusion),
-            "fused_graph": (["decode", "media", "fusion"],
+            "fused_graph": (["decode", "media", "fusion", "graph"],
                             ["mentions", "triples", "img_mentions",
-                             "img_triples", "fusion_blocks"],
+                             "img_triples", "fusion_blocks", "nodes_base",
+                             "edges"],
                             ["fused_nodes", "fused_edges"], _fused_graph),
         }
 

@@ -22,7 +22,8 @@ def pipe(spark, tmp_path_factory):
 def test_all_stages_ran_and_checkpointed(pipe):
     for t in ["spans", "chunks", "extraction_raw",
               "mentions", "triples", "img_mentions", "img_triples",
-              "nodes", "edges", "fusion_blocks", "fused_nodes", "fused_edges"]:
+              "nodes", "nodes_base", "edges", "fusion_blocks",
+              "fused_nodes", "fused_edges"]:
         assert pipe._complete(t), t
 
 
@@ -30,6 +31,28 @@ def test_outputs_match_direct_api(spark, pipe):
     a = pipe.read("edges").toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
     b = api.edges(spark, SF_TINY).toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert a.equals(b)
+    # nodes too (api.nodes is the pre-stub relation == the pipeline's
+    # nodes_base): hub entities cross the A1 summary_max_tokens threshold at
+    # SF_TINY, so this pins the pipeline's cfg plumbing (summarization branch)
+    a = (pipe.read("nodes_base").toPandas()
+         .sort_values(["entity_name"]).reset_index(drop=True))
+    b = (api.nodes(spark, SF_TINY).toPandas()
+         .sort_values(["entity_name"]).reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_fused_checkpoints_match_full_recompute(spark, pipe):
+    """The pipeline's fused stage uses the INCREMENTAL rewiring
+    (fuse_*_incremental over the graph-stage checkpoints); it must equal the
+    api's full-recompute fuse_graph bit-for-bit."""
+    for table, fn, keys in (
+        ("fused_nodes", api.fused_nodes, ["entity_name"]),
+        ("fused_edges", api.fused_edges, ["src", "dst"]),
+    ):
+        a = (pipe.read(table, spread=False).toPandas()
+             .sort_values(keys).reset_index(drop=True))
+        b = fn(spark, SF_TINY).toPandas().sort_values(keys).reset_index(drop=True)
+        assert a.equals(b), table
 
 
 def test_resume_skips_complete_stages(pipe):

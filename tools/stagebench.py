@@ -27,7 +27,7 @@ STAGE_OUTPUTS = {
     "extract_raw": ["extraction_raw"],
     "decode": ["mentions", "triples"],
     "media": ["img_mentions", "img_triples"],
-    "graph": ["nodes", "edges"],
+    "graph": ["nodes", "nodes_base", "edges"],
     "fusion": ["fusion_blocks"],
     "fused_graph": ["fused_nodes", "fused_edges"],
 }
