@@ -99,6 +99,16 @@ class Pipeline:
                 df = df.repartition(want)
         return df
 
+    def _nrows(self, table: str) -> int:
+        """Row count of a written checkpoint from its parquet footers —
+        driver-side metadata only, no Spark job, no data scan."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(str(f)).metadata.num_rows
+            for f in Path(self._path(table)).glob("*.parquet")
+        )
+
     def _write(self, df: DataFrame, table: str) -> int:
         """Write checkpoint + per-partition metrics; return row count.
 
@@ -314,6 +324,29 @@ class Pipeline:
             # scale the fused stage's shuffle is proportional to the merge
             # map's blast radius, not to the corpus. Stubs re-derive from
             # the fused_edges CHECKPOINT (same dedup as the graph stage).
+            # "full" re-runs A1/A2 over the whole rewired relations — the
+            # bit-exact fallback (and the A/B baseline, tools/stagebench.py).
+            # "auto" (default) decides from the measured blast radius: the
+            # merge map is tiny and already persisted, so counting dirty
+            # names is O(|mm|); the entity-name count comes from the
+            # nodes_base checkpoint footers (driver-side metadata, no scan).
+            strategy = cfg.fused_strategy
+            if strategy == "auto":
+                n_dirty = fusion.dirty_names(mm).count()
+                n_names = max(self._nrows("nodes_base"), 1)
+                strategy = ("incremental"
+                            if n_dirty <= cfg.fused_auto_dirty_max * n_names
+                            else "full")
+            if strategy == "full":
+                m2, t2 = fusion.fuse_inputs(all_m, all_t, mm)
+                return {
+                    "fused_edges": canon.build_edges(t2, cfg=cfg),
+                    "fused_nodes": lambda: canon.add_stub_nodes(
+                        canon.build_nodes(m2, cfg=cfg),
+                        self.read("fused_edges", spread=False),
+                    ),
+                    "__cleanup__": lambda: mm.unpersist(),
+                }
             return {
                 "fused_edges": fusion.fuse_edges_incremental(
                     self.read("edges", spread=False), all_t, mm, cfg=cfg

@@ -55,6 +55,28 @@ def test_fused_checkpoints_match_full_recompute(spark, pipe):
         assert a.equals(b), table
 
 
+@pytest.mark.parametrize("strategy", ["incremental", "full"])
+def test_fused_strategy_variants_match(spark, pipe, tmp_path_factory, strategy):
+    """Both explicit cfg.fused_strategy values produce the same fused tables
+    as the default 'auto' pipeline (which picks by measured merge-map blast
+    radius) — the strategy is a physical-plan choice, never a semantic one."""
+    import dataclasses
+
+    from mmgraphrag_spark.config import DEFAULT
+
+    work = str(tmp_path_factory.mktemp(f"pipe_{strategy}"))
+    p = Pipeline(spark, SF_TINY, work,
+                 cfg=dataclasses.replace(DEFAULT, fused_strategy=strategy))
+    p.run(resume=False)
+    for table, keys in (("fused_nodes", ["entity_name"]),
+                        ("fused_edges", ["src", "dst"])):
+        a = (p.read(table, spread=False).toPandas()
+             .sort_values(keys).reset_index(drop=True))
+        b = (pipe.read(table, spread=False).toPandas()
+             .sort_values(keys).reset_index(drop=True))
+        assert a.equals(b), table
+
+
 def test_resume_skips_complete_stages(pipe):
     ran = pipe.run(resume=True)
     assert not any(ran.values())

@@ -6,6 +6,10 @@ min-of-N, is the narrowest repeatable probe).
 Usage:
   python tools/stagebench.py <stage> <cores> [reps] [-- k=v ...spark conf]
 
+`--` entries whose key starts with ``cfg.`` override PipelineConfig fields
+instead (e.g. ``cfg.fused_strategy=full`` A/Bs the fused-graph incremental
+rewiring against the full re-aggregation path).
+
 Populates a work dir once (resume), then for each rep deletes the stage's
 outputs and re-runs with resume=True so ONLY that stage executes.
 """
@@ -50,6 +54,16 @@ def main() -> None:
     from mmgraphrag_spark.plans.pipeline import Pipeline
     from mmgraphrag_spark.session import get_spark
 
+    import dataclasses
+    from mmgraphrag_spark.config import DEFAULT
+
+    cfg_over = {k[4:]: v for k, v in conf.items() if k.startswith("cfg.")}
+    conf = {k: v for k, v in conf.items() if not k.startswith("cfg.")}
+    cfg = DEFAULT
+    if cfg_over:
+        typed = {k: type(getattr(DEFAULT, k))(v) for k, v in cfg_over.items()}
+        cfg = dataclasses.replace(DEFAULT, **typed)
+
     spark = get_spark("stagebench", cores=cores, extra_conf=conf or None)
     warm = spark.range(0, cores * 4, 1, cores).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
@@ -58,7 +72,7 @@ def main() -> None:
 
     sf_dir = "/dev/shm/kg_bench_fixture"
     work = f"/dev/shm/stagebench_{cores}"
-    pipe = Pipeline(spark, sf_dir, work)
+    pipe = Pipeline(spark, sf_dir, work, cfg=cfg)
     pipe.run(resume=True)  # populate everything once
 
     walls = []
@@ -69,7 +83,7 @@ def main() -> None:
         t0 = time.perf_counter()
         pipe.run(resume=True)
         walls.append(round(time.perf_counter() - t0, 2))
-    print({"stage": stage, "cores": cores, "conf": conf,
+    print({"stage": stage, "cores": cores, "conf": conf, "cfg": cfg_over,
            "walls": walls, "min": min(walls)})
 
 
