@@ -194,6 +194,12 @@ class Pipeline:
         self.spark.sparkContext.setJobDescription(f"stage:{name}")
         produced = fn()  # dict[table -> DataFrame | callable -> DataFrame]
         cleanup = produced.pop("__cleanup__", None)
+        # "__note__": free-form physical-plan annotation (e.g. which fused
+        # strategy "auto" resolved to) — recorded with the lineage inputs so
+        # a production run's choices are auditable after the fact
+        note = produced.pop("__note__", None)
+        if note:
+            inputs = [*inputs, f"note:{note}"]
         # a callable value is resolved only after every table BEFORE it in
         # dict order has been written — lets a later output derive from an
         # earlier output's checkpoint instead of recomputing its plan
@@ -346,6 +352,7 @@ class Pipeline:
                         self.read("fused_edges", spread=False),
                     ),
                     "__cleanup__": lambda: mm.unpersist(),
+                    "__note__": f"strategy={strategy}",
                 }
             return {
                 "fused_edges": fusion.fuse_edges_incremental(
@@ -358,6 +365,7 @@ class Pipeline:
                     self.read("fused_edges", spread=False),
                 ),
                 "__cleanup__": lambda: mm.unpersist(),
+                "__note__": f"strategy={strategy}",
             }
 
         # name -> (dep stages, lineage inputs, output tables, builder)

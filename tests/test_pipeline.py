@@ -109,6 +109,9 @@ def test_lineage_and_metrics_rows(pipe):
     per_stage = lin.drop_duplicates("output").set_index("output")["rows_out"]
     for stage in ["spans", "chunks", "mentions", "triples"]:
         assert got[stage] == per_stage[stage]
+    # the fused stage records which physical strategy "auto" resolved to
+    fused_inputs = lin[lin["stage"] == "fused_graph"]["inputs"].iloc[0]
+    assert "note:strategy=" in fused_inputs
 
 
 def test_parallel_dag_equals_sequential(spark, tmp_path):

@@ -290,6 +290,13 @@ batches only).
 
 6. round 3: MinHash signature build de-HOFed (flat min-aggregates,
    PLANS.md round-3 audit) — off the bench path but the same policy.
+7. round 3: zstd for shuffle + checkpoint parquet (fewer bytes through the
+   bandwidth-bound path); mentions-dedup exchange slimmed (derived
+   source_id attached after the distinct, ~25% of exchange bytes).
+8. round 3: fused-graph strategy picked adaptively from the merge map's
+   measured blast radius (PLANS.md) — this fixture's dense map routes to
+   the full re-aggregation path; sparse production maps route to the
+   incremental rewiring whose shuffle is proportional to dirty keys.
 
 Environment mitigations (PLANS.md): shuffle dirs + checkpoints on tmpfs
 (block device has multi-second file-create bursts), parquet stats truncated,
