@@ -114,6 +114,18 @@ def test_lineage_and_metrics_rows(pipe):
     assert "note:strategy=" in fused_inputs
 
 
+def test_decode_checkpoints_omit_derived_source_id(spark, pipe):
+    """The stored mentions/triples tables must NOT contain the derivable
+    source_id column (it equals chunk_id; storing it costs ~20-28% of the
+    tables' bytes — PLANS.md), while Pipeline.read rehydrates it."""
+    for table in ("mentions", "triples"):
+        stored = spark.read.parquet(f"{pipe.work_dir}/{table}")
+        assert "source_id" not in stored.columns, table
+        rehydrated = pipe.read(table, spread=False)
+        assert "source_id" in rehydrated.columns, table
+        assert rehydrated.filter("source_id <> chunk_id").count() == 0, table
+
+
 def test_parallel_dag_equals_sequential(spark, tmp_path):
     """Concurrent stage submission must produce byte-identical tables to the
     sequential topo order (checkpoint edges make scheduling invisible)."""
