@@ -36,10 +36,8 @@ def _local_query(spark, work_dir: str, query: str) -> dict:
     ents_csv, _, _ = query_ctx.context_blocks(seeds, ctx_edges, ctx_chunks, chunks)
     context = query_ctx.render_context(seeds, ctx_edges, ctx_chunks, chunks)
     med = media.media_spans(spark.read.parquet(f"{work_dir}/spans"))
-    info = {
-        r.media_ref.lower(): (r.context, "")
-        for r in med.select("media_ref", "context").collect()
-    }
+    ents = answer.mm_entities_from_context(ents_csv)
+    info = answer.media_info_for(med, ents)
     chain = answer.assemble_answer_chain(context, ents_csv, info)
     chain["context"] = context
     chain["query"] = query

@@ -355,14 +355,11 @@ def local_answer_prompts(
     ctx_chunks = query_ctx.context_chunks(n, e, ch, q, cfg.qctx_k)
     ents_csv, _, _ = query_ctx.context_blocks(seeds, ctx_edges, ctx_chunks, ch)
     context = query_ctx.render_context(seeds, ctx_edges, ctx_chunks, ch)
-    # media info for the mm prompts: ORI_IMG captions from the media table
-    med = media_table(spark, sf_dir, cfg)
-    # keys = lowercase ORI_IMG entity names (the scrape lowercases the
-    # upper(media_ref) node names, so lower(media_ref) is the join key)
-    info = {
-        r.media_ref.lower(): (r.context, "")
-        for r in med.select("media_ref", "context").collect()
-    }
+    # media info for the mm prompts: scrape the ≤NUM_MM_ENTITIES ORI_IMG
+    # names from the entities CSV FIRST, then filter the media table to
+    # exactly those names before the (bounded) collect
+    ents = answer.mm_entities_from_context(ents_csv)
+    info = answer.media_info_for(media_table(spark, sf_dir, cfg), ents)
     chain = answer.assemble_answer_chain(context, ents_csv, info, rt)
     chain["context"] = context
     return chain

@@ -27,6 +27,30 @@ from __future__ import annotations
 from ..functions import prompt_templates as T
 
 
+def media_info_for(media_df, ents: list[str]) -> dict[str, tuple[str, str]]:
+    """Bounded image-info lookup: filter the media relation to the ≤
+    ``NUM_MM_ENTITIES`` scraped ORI_IMG names BEFORE collecting, so the
+    driver only ever materializes the handful of rows the prompt chain can
+    use (the reference reads these from its kv_store_image_data dict,
+    query.py:423-437). ``ents`` are already-lowercased entity names; the
+    join key is lower(media_ref). Returns {name: (caption, footnote)}.
+
+    An unfiltered ``media_df.collect()`` here would pull the whole corpus's
+    media contexts through the driver at scale — this helper is the only
+    sanctioned collect in the answer chain.
+    """
+    if not ents:
+        return {}
+    from pyspark.sql import functions as F
+
+    rows = (
+        media_df.select("media_ref", "context")
+        .filter(F.lower("media_ref").isin(list(ents)))
+        .collect()
+    )
+    return {r.media_ref.lower(): (r.context, "") for r in rows}
+
+
 def augmented_prompt(
     context: str, response_type: str = T.DEFAULT_RESPONSE_TYPE
 ) -> str:

@@ -455,6 +455,8 @@ def duplicate_clusters(
     pairs: DataFrame | None = None,
     cfg: PipelineConfig = DEFAULT,
     max_iter: int = 20,
+    method: str = "fixpoint",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_rep): connected components over the near-duplicate
     pair graph — the collapse step a dedup pipeline actually applies (keep
@@ -473,11 +475,19 @@ def duplicate_clusters(
 
     Scale shape: edges come from the LSH-verified pair list (bounded by
     true near-dups, not the corpus); each round is one equi-join + one
-    keyed aggregation on doc_id. At 10^12 docs swap the fixpoint for
-    large-star/small-star (same join primitives, O(log n) rounds).
+    keyed aggregation on doc_id. ``method='star'`` switches to the
+    alternating large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log n) rounds on ANY graph
+    shape, the right pick at 10^12 docs when components are stringy rather
+    than clique-like; both methods are equality-tested against each other.
+    ``stats``, if given, receives {"rounds": n} for protocol assertions.
     """
+    if method not in ("fixpoint", "star"):
+        raise ValueError(f"method={method!r}: expected 'fixpoint' or 'star'")
     if pairs is None:
         pairs = minhash_near_duplicates(docs, cfg=cfg)
+    if method == "star":
+        return _duplicate_clusters_star(docs, pairs, max_iter, stats)
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -487,7 +497,9 @@ def duplicate_clusters(
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
         eager=True
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             edges.join(labels.withColumnRenamed("doc_id", "y"), "y")
             .groupBy("x")
@@ -525,4 +537,73 @@ def duplicate_clusters(
         labels = new
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def _duplicate_clusters_star(
+    docs: DataFrame, pairs: DataFrame, max_iter: int, stats: dict | None
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Edges live as deduped (u, v) pairs. One round = large-star (every node
+    hooks its strictly-larger neighbors onto its minimum) then small-star
+    (every node hooks its smaller-or-equal neighbors onto its minimum);
+    converged when the edge set stops changing, at which point every
+    non-root node carries exactly one edge to its component minimum.
+    O(log n) rounds on any graph shape (Kiveris et al.). Both steps are
+    pure join+min-aggregate — no per-node neighbor arrays, so a hub node
+    never materializes its adjacency list in one task.
+    """
+    e = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: symmetric neighborhoods; for each u emit (v, min) for
+        # every STRICTLY larger neighbor v (min over N(u) ∪ {u})
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least("u", "mn")
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient every edge to its larger endpoint; for each u
+        # emit (v, min) for all smaller neighbors plus (u, min)
+        omins = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(omins, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(omins.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        same = (
+            small.count() == e.count()
+            and small.join(e, ["u", "v"], "left_anti").count() == 0
+        )
+        e = small
+        if same:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    roots = e.groupBy("u").agg(F.min("v").alias("rep"))
+    return docs.select("doc_id").join(
+        roots.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("rep", F.col("doc_id")).alias("cluster_rep")
+    )

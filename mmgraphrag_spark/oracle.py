@@ -786,12 +786,27 @@ SELECT h.entity_name, n.entity_type FROM (
 
 # ---- context rendering + answer prompt (the final query deliverable) ------
 
+# the full character set Python's str.strip() removes (str.isspace() == True):
+# ASCII ws incl. \v \f and the C1 separators, then the Unicode space family
+_PY_STRIP_WS = (
+    "' ' || "
+    + " || ".join(
+        f"chr({c})"
+        for c in (
+            9, 10, 11, 12, 13, 28, 29, 30, 31, 133, 160, 5760,
+            *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+        )
+    )
+)
+
+
 def _stripq(x: str) -> str:
     """SQL twin of query_ctx._enclose's string normalization:
     str(v).strip().strip("'").strip('"') — whitespace, then single quotes,
-    then double quotes, each stripped repeatedly from both ends."""
-    ws = "' ' || chr(9) || chr(10) || chr(13)"
-    return f"trim(trim(trim({x}, {ws}), chr(39)), '\"')"
+    then double quotes, each stripped repeatedly from both ends. The
+    whitespace set is Python's full str.strip() set (incl. \\v, \\f and the
+    Unicode spaces), so both sides normalize identically on any content."""
+    return f"trim(trim(trim({x}, {_PY_STRIP_WS}), chr(39)), '\"')"
 
 
 def _qcell(x: str) -> str:

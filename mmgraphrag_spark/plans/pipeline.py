@@ -106,13 +106,19 @@ class Pipeline:
 
     def _nrows(self, table: str) -> int:
         """Row count of a written checkpoint from its parquet footers —
-        driver-side metadata only, no Spark job, no data scan."""
+        driver-side metadata only, no Spark job, no data scan, when the
+        work_dir is a local filesystem. On a remote work_dir (hdfs://,
+        s3a://, the documented Iceberg swap) the local glob sees nothing, so
+        fall back to a metadata-only Spark count over the checkpoint (parquet
+        footer aggregation, no column data read) instead of silently
+        returning 0 — a zero here would defeat the fused-graph 'auto'
+        routing by making every merge map look dense."""
         import pyarrow.parquet as pq
 
-        return sum(
-            pq.ParquetFile(str(f)).metadata.num_rows
-            for f in Path(self._path(table)).glob("*.parquet")
-        )
+        files = list(Path(self._path(table)).glob("*.parquet"))
+        if files:
+            return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+        return self.spark.read.parquet(self._path(table)).count()
 
     def _write(self, df: DataFrame, table: str) -> int:
         """Write checkpoint + per-partition metrics; return row count.
@@ -348,6 +354,11 @@ class Pipeline:
             # names is O(|mm|); the entity-name count comes from the
             # nodes_base checkpoint footers (driver-side metadata, no scan).
             strategy = cfg.fused_strategy
+            if strategy not in ("auto", "incremental", "full"):
+                raise ValueError(
+                    f"fused_strategy={strategy!r}: expected one of "
+                    "'auto', 'incremental', 'full'"
+                )
             if strategy == "auto":
                 n_dirty = fusion.dirty_names(mm).count()
                 n_names = max(self._nrows("nodes_base"), 1)

@@ -142,38 +142,102 @@ def content_list_media(lists: DataFrame) -> DataFrame:
 def media_context(flat_spans: DataFrame, n_words: int = 100) -> DataFrame:
     """(doc_id, media_ref, context): ±``n_words`` of neighboring text for
     every media span — the reference's fore/back context walk
-    (pdf2md_preprocessing.py:416-440) as two per-doc windows.
+    (pdf2md_preprocessing.py:416-440).
 
     before = last n words of all text spans at smaller offsets, after =
     first n words at larger offsets; context = trim(before || ' ' || after).
-    The windows partition on doc_id (doc-bounded state, the key downstream
-    reuses); word slicing is flat slice/size arithmetic, no HOF lambdas.
+
+    Scale shape: O(s·n) per doc, never O(s²). An earlier build used two
+    UNBOUNDED ``collect_list`` windows, materializing a growing word-array
+    prefix/suffix at EVERY span row — doc-bounded but quadratic in
+    spans-per-doc (a single 50k-span doc would stall its task). This build:
+
+    * pre-truncates each TEXT span to its last/first ``n_words`` (a span can
+      never contribute more words than that to any context);
+    * assembles, at each text span, the exact last-n-words-ending-here /
+      first-n-words-starting-here strings with a ROW-BOUNDED window over
+      text spans only — every text span holds ≥1 word (``split('', ' ')``
+      is ``['']``, matching the reference's empty-word semantics), so
+      ``n_words`` rows always cover ≥ n words and the bound is exact;
+    * anchors each image span to its nearest preceding / following text
+      span via running ``last(_, ignorenulls)`` frames (incremental,
+      O(1)/row — never an unbounded-following frame, which Spark
+      re-evaluates per row) and equi-joins the pre-assembled strings back
+      on (doc_id, offset). All shuffles stay on doc_id, the pipeline's key.
     """
-    txt = F.when(F.col("kind") == "text", F.col("text")).otherwise(F.lit(None))
-    w = Window.partitionBy("doc_id").orderBy("offset")
-    before_txt = F.concat_ws(
-        " ", F.collect_list(txt).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    )
-    after_txt = F.concat_ws(
-        " ", F.collect_list(txt).over(w.rowsBetween(1, Window.unboundedFollowing))
-    )
-    spans = flat_spans.select(
-        "doc_id", "kind", "media_ref", "offset",
-        F.split(before_txt, " ").alias("bw"),
-        F.split(after_txt, " ").alias("aw"),
+    is_text = F.col("kind") == "text"
+    toff = F.when(is_text, F.col("offset"))
+    w_asc = Window.partitionBy("doc_id").orderBy("offset")
+    w_desc = Window.partitionBy("doc_id").orderBy(F.desc("offset"))
+    anchored = flat_spans.select(
+        "doc_id", "kind", "media_ref",
+        F.last(toff, ignorenulls=True)
+        .over(w_asc.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_off"),
+        # nearest FOLLOWING text span == nearest preceding in offset-desc
+        # order (a running frame; an unboundedFollowing frame would be
+        # recomputed from scratch at every row)
+        F.last(toff, ignorenulls=True)
+        .over(w_desc.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("next_off"),
     ).filter(F.col("kind") == "image")
-    before = F.array_join(
+
+    words = F.split("text", " ")
+    trunc_last = F.array_join(
         F.slice(
-            "bw",
-            F.greatest(F.size("bw") - F.lit(n_words) + 1, F.lit(1)),
+            words,
+            F.greatest(F.size(words) - F.lit(n_words) + 1, F.lit(1)),
             F.lit(n_words),
         ),
         " ",
     )
-    after = F.array_join(F.slice("aw", F.lit(1), F.lit(n_words)), " ")
-    return spans.select(
-        "doc_id", "media_ref",
-        F.trim(F.concat_ws(" ", before, after)).alias("context"),
+    trunc_first = F.array_join(F.slice(words, F.lit(1), F.lit(n_words)), " ")
+    text = flat_spans.filter(is_text).select(
+        "doc_id", "offset",
+        trunc_last.alias("tb"), trunc_first.alias("ta"),
+    )
+    wt = Window.partitionBy("doc_id").orderBy("offset")
+    bjoin = F.concat_ws(
+        " ", F.collect_list("tb").over(wt.rowsBetween(-(n_words - 1), 0))
+    )
+    ajoin = F.concat_ws(
+        " ", F.collect_list("ta").over(wt.rowsBetween(0, n_words - 1))
+    )
+    assembled = text.select(
+        "doc_id", "offset",
+        F.split(bjoin, " ").alias("bw"),
+        F.split(ajoin, " ").alias("aw"),
+    ).select(
+        "doc_id", "offset",
+        F.array_join(
+            F.slice(
+                "bw",
+                F.greatest(F.size("bw") - F.lit(n_words) + 1, F.lit(1)),
+                F.lit(n_words),
+            ),
+            " ",
+        ).alias("before"),
+        F.array_join(F.slice("aw", F.lit(1), F.lit(n_words)), " ").alias("after"),
+    )
+    before_df = assembled.select(
+        "doc_id", F.col("offset").alias("prev_off"), "before"
+    )
+    after_df = assembled.select(
+        "doc_id", F.col("offset").alias("next_off"), "after"
+    )
+    return (
+        anchored.join(before_df, ["doc_id", "prev_off"], "left")
+        .join(after_df, ["doc_id", "next_off"], "left")
+        .select(
+            "doc_id", "media_ref",
+            F.trim(
+                F.concat_ws(
+                    " ",
+                    F.coalesce("before", F.lit("")),
+                    F.coalesce("after", F.lit("")),
+                )
+            ).alias("context"),
+        )
     )
 
 

@@ -11,12 +11,17 @@ implements the well-formed subset directly on the COS object syntax:
 * streams are cut between ``stream``/``endstream``; ``/FlateDecode``
   inflates with zlib;
 * text comes from content-stream show operators: ``(..) Tj``, ``(..) '``,
-  ``[(..) .. (..)] TJ`` inside BT/ET blocks, with PDF string escapes
-  (octal, \\n, \\(, ...) decoded — i.e. simple Latin-text PDFs (the kind
-  the fixture writer below emits). CID/Type0-encoded text (most wild
-  academic PDFs) needs font cmap decoding — that is the documented
-  PyMuPDF swap point, NOT a silent wrong answer: undecodable show strings
-  are dropped;
+  ``<hex> Tj``, ``[(..) <hex> ..] TJ`` inside BT/ET blocks, with PDF string
+  escapes (octal, \\n, \\(, ...) decoded;
+* CID/Type0 fonts (most wild academic PDFs) are decoded through their
+  ``/ToUnicode`` CMaps: font resource dicts (``/Font << /F1 N 0 R >>``) are
+  resolved to font objects, ``beginbfchar``/``beginbfrange`` sections map
+  code-width-sized codes (``begincodespacerange``) to UTF-16BE text, and
+  the active font is tracked across ``Tf`` operators — matching what the
+  reference gets from PyMuPDF on the common case
+  (pdf_preprocessing.py:313-399). A Type0 font WITHOUT a /ToUnicode CMap
+  is the remaining swap point: its show strings are dropped loudly (empty,
+  never garbled);
 * image XObjects (``/Subtype /Image``) are collected in object order and
   matched to ``Do`` draw operators sequentially; raw ``/DCTDecode`` stream
   bytes ARE the jpeg.
@@ -43,10 +48,18 @@ from .docx import MEDIA_SCHEMA, SPAN_SCHEMA, _context
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
-# (..) Tj   (..) '   [ .. ] TJ
-_SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')|\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.S)
-# inside a TJ array: literal strings interleaved with kerning numbers
-_ARRAY_TOK_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|(-?\d+(?:\.\d+)?)", re.S)
+# in-order BT-block tokens: font select, literal show, hex show, TJ array
+_BT_TOK_RE = re.compile(
+    rb"/(\w+)\s+[-\d.]+\s+Tf"
+    rb"|\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')"
+    rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|')"
+    rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+    re.S,
+)
+# inside a TJ array: literal/hex strings interleaved with kerning numbers
+_ARRAY_TOK_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?\d+(?:\.\d+)?)", re.S
+)
 _ARRAY_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)", re.S)
 # a TJ kern adjustment at or beyond this magnitude (thousandths of an em,
 # applied negatively) renders as an inter-word gap — the standard heuristic
@@ -100,14 +113,123 @@ def _stream_data(body: bytes) -> bytes | None:
     return data
 
 
+# ---- /ToUnicode CMap decoding (CID/Type0 fonts) ----------------------------
+
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*(.*?)endcodespacerange", re.S)
+_BFCHAR_RE = re.compile(rb"beginbfchar\s*(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange\s*(.*?)endbfrange", re.S)
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*"
+    rb"(?:<([0-9A-Fa-f\s]*)>|\[(.*?)\])",
+    re.S,
+)
+_FONTRES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+
+#: sentinel for "simple font: decode bytes as latin-1" (the pre-CMap path)
+_SIMPLE = object()
+
+
+def _hexbytes(h: bytes) -> bytes:
+    h = re.sub(rb"\s+", b"", h)
+    if len(h) % 2:
+        h += b"0"  # spec: an odd trailing hex digit implies a final 0
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _utf16(b: bytes) -> str:
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return ""
+
+
+def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """A /ToUnicode CMap stream -> ({code: text}, code byte width).
+
+    Handles ``begincodespacerange`` (code width), ``beginbfchar`` pairs and
+    ``beginbfrange`` triples in both the ``<lo> <hi> <dst>`` (incrementing
+    last UTF-16 code unit, per spec) and ``<lo> <hi> [<d1> ...]`` forms —
+    the structures PyMuPDF resolves natively for the reference
+    (pdf_preprocessing.py:313-399)."""
+    width = 2
+    m = _CODESPACE_RE.search(data)
+    if m:
+        hx = _HEXSTR_RE.search(m.group(1))
+        if hx:
+            width = max(1, len(_hexbytes(hx.group(1))))
+    cmap: dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(data):
+        toks = _HEXSTR_RE.findall(sec.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            src = int.from_bytes(_hexbytes(toks[i]), "big")
+            cmap[src] = _utf16(_hexbytes(toks[i + 1]))
+    for sec in _BFRANGE_RE.finditer(data):
+        for em in _BFRANGE_ENTRY_RE.finditer(sec.group(1)):
+            lo = int.from_bytes(_hexbytes(em.group(1)), "big")
+            hi = int.from_bytes(_hexbytes(em.group(2)), "big")
+            if em.group(3) is not None:
+                base = _utf16(_hexbytes(em.group(3)))
+                if base:
+                    for k in range(hi - lo + 1):
+                        cmap[lo + k] = base[:-1] + chr(ord(base[-1]) + k)
+            else:
+                for k, d in enumerate(_HEXSTR_RE.findall(em.group(4))):
+                    if lo + k > hi:
+                        break
+                    cmap[lo + k] = _utf16(_hexbytes(d))
+    return cmap, width
+
+
+def _font_cmaps(bodies: dict[int, bytes]):
+    """Resource-name -> decode rule: (cmap, width) for /ToUnicode fonts,
+    ``None`` for Type0 fonts WITHOUT one (loud drop), absent for simple
+    fonts (latin-1). Resource dicts are resolved globally — per-page name
+    collisions (rare; generators emit consistent names) take the last."""
+    fonts: dict[bytes, object] = {}
+    for body in bodies.values():
+        for fr in _FONTRES_RE.finditer(body):
+            for nm in _FONTREF_RE.finditer(fr.group(1)):
+                name, oid = nm.group(1), int(nm.group(2))
+                fb = bodies.get(oid)
+                if fb is None:
+                    continue
+                tm = _TOUNI_RE.search(fb)
+                if tm and int(tm.group(1)) in bodies:
+                    data = _stream_data(bodies[int(tm.group(1))])
+                    if data:
+                        fonts[name] = _parse_tounicode(data)
+                        continue
+                if b"/Type0" in fb:
+                    fonts[name] = None
+    return fonts
+
+
+def _decode_show(raw: bytes, font) -> str:
+    """Show-string bytes -> text under the active font's decode rule."""
+    if font is _SIMPLE:
+        return raw.decode("latin-1")
+    if font is None:  # Type0 without /ToUnicode: drop loudly, never garble
+        return ""
+    cmap, w = font
+    out = []
+    for i in range(0, len(raw) - w + 1, w):
+        ch = cmap.get(int.from_bytes(raw[i:i + w], "big"))
+        if ch:
+            out.append(ch)
+    return "".join(out)
+
+
 def parse_pdf(doc_id: str, blob: bytes, context_length: int = 100):
     """One document -> (span rows, media rows); pure function."""
-    images = []       # (media_ref, jpeg bytes) in object order
     pieces = []       # ('text', decoded) | ('image',) placeholders in order
     img_objs = []
     content_streams = []
+    bodies: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(blob):
-        body = m.group(2)
+        bodies[int(m.group(1))] = body = m.group(2)
         data = _stream_data(body)
         if data is None:
             continue
@@ -115,8 +237,10 @@ def parse_pdf(doc_id: str, blob: bytes, context_length: int = 100):
             img_objs.append(data)
         elif _BT_RE.search(data) or _DO_RE.search(data):
             content_streams.append(data)
+    fonts = _font_cmaps(bodies)
 
     draw_n = 0
+    cur_font: object = _SIMPLE  # text state persists across BT blocks
     for cs in content_streams:
         # walk the stream once, emitting text blocks and draws in order
         events = []
@@ -127,17 +251,27 @@ def parse_pdf(doc_id: str, blob: bytes, context_length: int = 100):
             events.append((do.start(), "do", None))
         for _, kind, payload in sorted(events, key=lambda e: e[0]):
             if kind == "bt":
-                parts = []
-                for sm in _SHOW_RE.finditer(payload):
-                    if sm.group(1) is not None:
-                        parts.append(_unescape(sm.group(1)))
-                    else:
-                        for x in _ARRAY_TOK_RE.finditer(sm.group(2)):
+                parts: list[str] = []
+                for sm in _BT_TOK_RE.finditer(payload):
+                    if sm.group(1) is not None:  # /Name size Tf
+                        cur_font = fonts.get(sm.group(1), _SIMPLE)
+                    elif sm.group(2) is not None:  # (..) Tj | '
+                        parts.append(_decode_show(_unescape(sm.group(2)), cur_font))
+                    elif sm.group(3) is not None:  # <hex> Tj | '
+                        parts.append(_decode_show(_hexbytes(sm.group(3)), cur_font))
+                    else:  # [ .. ] TJ
+                        for x in _ARRAY_TOK_RE.finditer(sm.group(4)):
                             if x.group(1) is not None:
-                                parts.append(_unescape(x.group(1)))
-                            elif float(x.group(2)) <= -TJ_SPACE_KERN:
-                                parts.append(b" ")
-                text = b"".join(parts).decode("latin-1").strip()
+                                parts.append(
+                                    _decode_show(_unescape(x.group(1)), cur_font)
+                                )
+                            elif x.group(2) is not None:
+                                parts.append(
+                                    _decode_show(_hexbytes(x.group(2)), cur_font)
+                                )
+                            elif float(x.group(3)) <= -TJ_SPACE_KERN:
+                                parts.append(" ")
+                text = "".join(parts).strip()
                 if text:
                     pieces.append(("text", text))
             else:
@@ -207,19 +341,79 @@ def pdf_media(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def pdf_bytes(pages: list) -> bytes:
+def _cid_codes(charset: list[str]) -> tuple[dict[str, int], bytes]:
+    """Assign deliberately NON-identity 2-byte codes to ``charset`` and
+    serialize the matching /ToUnicode CMap, exercising every structure the
+    reader parses: codespacerange, bfchar pairs, a ``<lo> <hi> <dst>``
+    incrementing bfrange (a-z) and an array-form bfrange. A latin-1
+    interpretation of these codes garbles, so tests prove the CMap is used."""
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    others = sorted(set(charset) - set(lower))
+    code_of: dict[str, int] = {}
+    code = 0x0100
+    for c in lower:
+        code_of[c] = code
+        code += 1
+    half = len(others) // 2
+    bfchar = []
+    for c in others[:half]:
+        code_of[c] = code
+        bfchar.append(f"<{code:04X}> <{ord(c):04X}>")
+        code += 1
+    arr_lo, arr = code, []
+    for c in others[half:]:
+        code_of[c] = code
+        arr.append(f"<{ord(c):04X}>")
+        code += 1
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin", "begincmap",
+        "1 begincodespacerange", "<0000> <FFFF>", "endcodespacerange",
+        f"{len(bfchar)} beginbfchar", *bfchar, "endbfchar",
+        "beginbfrange", "<0100> <0119> <0061>",
+    ]
+    if arr:
+        parts.append(f"<{arr_lo:04X}> <{code - 1:04X}> [" + " ".join(arr) + "]")
+    parts += ["endbfrange", "endcmap", "end", "end"]
+    return code_of, "\n".join(parts).encode()
+
+
+def pdf_bytes(pages: list, cid: bool = False) -> bytes:
     """Minimal PDF serializer. ``pages`` is a list of pages; each page is a
     list of str (text line) or ("image", jpeg_bytes) items. Content streams
     are Flate-compressed; images are /DCTDecode XObjects — exercising
     exactly the subset the reader supports. Emits a correct xref table, so
-    standard viewers open the file too."""
+    standard viewers open the file too.
+
+    ``cid=True`` emits the text through an /Identity-H Type0 font with a
+    /ToUnicode CMap and hex show strings — the wild-academic-PDF encoding
+    shape — instead of WinAnsi literal strings."""
     objs: dict[int, bytes] = {}
     img_count = 0
     page_obj_ids = []
     next_id = 3  # 1=catalog, 2=pages
     font_id = next_id
-    objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     next_id += 1
+    code_of: dict[str, int] = {}
+    if cid:
+        charset = sorted({
+            ch for page in pages for item in page
+            if isinstance(item, str) for ch in item
+        })
+        code_of, cmap = _cid_codes(charset)
+        cmap_id = next_id
+        next_id += 1
+        objs[cmap_id] = (
+            b"<< /Length " + str(len(cmap)).encode()
+            + b" >>\nstream\n" + cmap + b"\nendstream"
+        )
+        objs[font_id] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth"
+            b" /Encoding /Identity-H /ToUnicode "
+            + str(cmap_id).encode() + b" 0 R >>"
+        )
+    else:
+        objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     for page in pages:
         parts, xobjects = [], []
@@ -241,6 +435,11 @@ def pdf_bytes(pages: list) -> bytes:
                 parts.append(b"q 100 0 0 100 72 " + str(y - 100).encode()
                              + b" cm /" + name + b" Do Q")
                 y -= 110
+            elif cid:
+                hx = "".join(f"{code_of[c]:04X}" for c in item).encode()
+                parts.append(b"BT /F1 12 Tf 72 " + str(y).encode()
+                             + b" Td <" + hx + b"> Tj ET")
+                y -= 16
             else:
                 esc = (
                     item.encode("latin-1")

@@ -103,6 +103,26 @@ def test_assemble_answer_chain_end_to_end():
     assert "CTX" in chain["augmented"]
 
 
+def test_media_info_for_is_bounded_on_many_media(spark):
+    """Scale guard: the answer chain must never collect the full media
+    relation — `media_info_for` filters to the ≤NUM_MM_ENTITIES scraped
+    names BEFORE collecting, so a 1000-image corpus yields ≤limit rows on
+    the driver."""
+    rows = [("d%d" % i, "D%d/IMAGE_1" % i, "caption %d" % i, i)
+            for i in range(1000)]
+    med = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, context string, media_offset int"
+    )
+    ents = ["d7/image_1", "d42/image_1"]
+    assert len(ents) <= T.NUM_MM_ENTITIES
+    info = answer.media_info_for(med, ents)
+    assert len(info) == 2  # << 1000: the collect was filtered, not full
+    assert info["d7/image_1"] == ("caption 7", "")
+    assert info["d42/image_1"] == ("caption 42", "")
+    # no scraped entities -> no Spark job at all
+    assert answer.media_info_for(med, []) == {}
+
+
 def test_api_local_answer_prompts_end_to_end(spark):
     """The whole query lifecycle on the tiny corpus: context renders, the
     augmented prompt embeds it, ORI_IMG entities (if any ranked into the

@@ -290,6 +290,50 @@ def test_duplicate_clusters_converges_on_a_path_graph(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_duplicate_clusters_star_agrees_with_fixpoint(spark):
+    """method='star' (large-star/small-star, O(log n) rounds on any shape)
+    equals the pointer-jumping fixpoint on the adversarial stringy shape —
+    a 16-node path — and on a clique+singleton mix; round counts recorded
+    via stats and bounded logarithmically."""
+    from mmgraphrag_spark.operators.dedup import duplicate_clusters
+
+    n = 16
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(n)] + [(99, "s")], "doc_id long, text string"
+    )
+    path = [(i, i + 1) for i in range(n - 1)]
+    clique = [(20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(path + clique, "a long, b long")
+    docs2 = docs.unionByName(
+        spark.createDataFrame([(20, "c"), (21, "c"), (22, "c")],
+                              "doc_id long, text string")
+    )
+    fix_stats, star_stats = {}, {}
+    fix = {
+        r.doc_id: r.cluster_rep
+        for r in duplicate_clusters(
+            docs2, pairs=pairs, stats=fix_stats
+        ).collect()
+    }
+    star = {
+        r.doc_id: r.cluster_rep
+        for r in duplicate_clusters(
+            docs2, pairs=pairs, method="star", stats=star_stats
+        ).collect()
+    }
+    assert star == fix
+    assert fix == {**{i: 0 for i in range(n)}, 99: 99, 20: 20, 21: 20, 22: 20}
+    # both are O(log) on the 15-hop path: star by construction, the
+    # fixpoint via pointer jumping — neither may degrade to diameter rounds
+    assert 1 <= star_stats["rounds"] <= 7
+    assert 1 <= fix_stats["rounds"] <= 7
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        duplicate_clusters(docs2, pairs=pairs, method="union-find")
+
+
 def test_duplicate_clusters_matches_union_find_on_random_graph(spark):
     """Components equal a pure-python union-find on a seeded random graph
     (independent algorithmic oracle, beyond the driver's recursive CTE)."""

@@ -95,6 +95,40 @@ def test_mineru_media_context_matches_reference_walk(spark):
     assert got["d2/image_1"] == ""
 
 
+def test_mineru_media_context_long_doc_not_quadratic(spark):
+    """A pathological 10k-span single doc completes fast (the unbounded
+    prefix/suffix windows this replaced were O(s²) per doc) and every
+    context equals the reference's pure-Python fore/back walk."""
+    import time
+
+    n, nw = 10_000, 7
+    rows = []
+    for i in range(n):
+        if i % 40 == 7:
+            rows.append(("big", "image", f"cap {i}", f"big/image_{i}", i))
+        else:
+            # vary word counts, include empty spans (1 empty word each)
+            rows.append(("big", "text", " ".join(f"w{i}_{j}" for j in range(i % 4)), "", i))
+    flat = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, media_ref string, offset int"
+    ).repartition(1).cache()
+    flat.count()
+    t0 = time.perf_counter()
+    got = {r.media_ref: r.context for r in mineru.media_context(flat, nw).collect()}
+    wall = time.perf_counter() - t0
+    flat.unpersist()
+    # reference walk: last/first nw words of the split-by-space joins
+    texts = [(o, t) for (_, k, t, _, o) in rows if k == "text"]
+    for (_, k, _, ref, o) in rows:
+        if k != "image":
+            continue
+        bw = " ".join(t for (oo, t) in texts if oo < o).split(" ")
+        aw = " ".join(t for (oo, t) in texts if oo > o).split(" ")
+        want = (" ".join(bw[-nw:]) + " " + " ".join(aw[:nw])).strip()
+        assert got[ref] == want, ref
+    assert wall < 60, f"10k-span doc took {wall:.1f}s — quadratic regression?"
+
+
 def test_mineru_glob_reads_many_files(spark, tmp_path):
     """Directory-of-files layout: one content list per doc, doc_id from the
     filename stem."""
@@ -224,6 +258,42 @@ def test_full_pipeline_runs_from_mineru_source(spark, tmp_path):
     out = _local_query(spark, work, "dice loss for data imbalanced tasks")
     assert out["context"].count("```csv") == 3
     assert out["context"] in out["augmented"]
+
+
+def test_pdf_reader_decodes_cid_type0_text():
+    """A CID/Type0 PDF (hex show strings, /Identity-H, /ToUnicode CMap with
+    bfchar + both bfrange forms) decodes to the same spans as its WinAnsi
+    twin — the wild-academic-PDF encoding the reference reads via PyMuPDF
+    (pdf_preprocessing.py:313-399). The fixture's codes are non-identity,
+    so a latin-1 fallback would garble: this proves the CMap is applied."""
+    pages = [
+        ["Dice loss for Data-imbalanced NLP tasks!",
+         "We use the F1 score (macro), see: section 3."],
+        [("image", FAKE_JPEG), "after the figure, more prose."],
+    ]
+    blob_cid = pdf.pdf_bytes(pages, cid=True)
+    blob_simple = pdf.pdf_bytes(pages)
+    got_cid, media_cid = pdf.parse_pdf("d", blob_cid)
+    got_simple, _ = pdf.parse_pdf("d", blob_simple)
+    assert got_cid == got_simple
+    assert [s[2] for s in got_cid if s[1] == "text"] == [
+        "Dice loss for Data-imbalanced NLP tasks!",
+        "We use the F1 score (macro), see: section 3.",
+        "after the figure, more prose.",
+    ]
+    assert len(media_cid) == 1 and media_cid[0][3] == FAKE_JPEG
+
+
+def test_pdf_reader_drops_type0_without_tounicode_loudly():
+    """A Type0 font with NO /ToUnicode CMap must yield EMPTY text (loud
+    drop), never latin-1 garbage — the documented remaining swap point."""
+    blob = pdf.pdf_bytes([["hello world"]], cid=True)
+    # strip the /ToUnicode reference from the font object
+    import re as _re
+
+    blob = _re.sub(rb"/ToUnicode \d+ 0 R", b"", blob)
+    spans, _ = pdf.parse_pdf("d", blob)
+    assert [s for s in spans if s[1] == "text"] == []
 
 
 def test_pdf_reader_extracts_real_acl_paper_text():

@@ -61,7 +61,20 @@ def main() -> None:
     conf = {k: v for k, v in conf.items() if not k.startswith("cfg.")}
     cfg = DEFAULT
     if cfg_over:
-        typed = {k: type(getattr(DEFAULT, k))(v) for k, v in cfg_over.items()}
+        fld = {f.name: f.type for f in dataclasses.fields(DEFAULT)}
+        typed = {}
+        for k, v in cfg_over.items():
+            if k not in fld:
+                raise SystemExit(
+                    f"unknown cfg field {k!r}; valid: {', '.join(sorted(fld))}"
+                )
+            cur = getattr(DEFAULT, k)
+            if isinstance(cur, bool):
+                if v.lower() not in ("true", "false", "1", "0"):
+                    raise SystemExit(f"cfg.{k} expects true/false, got {v!r}")
+                typed[k] = v.lower() in ("true", "1")
+            else:
+                typed[k] = type(cur)(v)
         cfg = dataclasses.replace(DEFAULT, **typed)
 
     spark = get_spark("stagebench", cores=cores, extra_conf=conf or None)
