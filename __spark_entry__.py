@@ -32,6 +32,12 @@ CTX_WORDS = 20
 GLEANED_CFG = replace(DEFAULT, gleaning_rounds=1)
 # depth-2 gleaning: round 2 recovers strictly shorter tokens round 1 missed
 GLEANED2_CFG = replace(DEFAULT, gleaning_rounds=2)
+# answer-chain fixture query: seeds one ORI_IMG node (token-matched, the
+# reference's seed rule) alongside text entities, so the multimodal prompt
+# fills are exercised with real media captions at every sf tier
+CHAIN_CFG = replace(
+    DEFAULT, qctx_query="doc102/image_1 spark window stream", qctx_k=6
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -100,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filled answer system prompt (reference query.py:263-311, 402-405)
         "qctx_render": api.qctx_render,
         "qctx_prompt": api.qctx_prompt,
+        # the FULL deterministic prompt chain incl. multimodal fills
+        # (reference query.py:414-470), image info derived distributedly
+        "qctx_prompt_chain": lambda s, d: api.qctx_prompt_chain(s, d, CHAIN_CFG),
         # training-data pipeline: dedup / similarity / text analysis
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
         "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
@@ -159,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "qctx_seeds_vdb": oracle.qctx_seeds_vdb_sql(),
         "qctx_render": oracle.qctx_render_sql(),
         "qctx_prompt": oracle.qctx_prompt_sql(),
+        "qctx_prompt_chain": oracle.qctx_prompt_chain_sql(CHAIN_CFG),
         "dup_exact": oracle_extra.dup_exact_sql(),
         "dup_minhash": oracle_extra.dup_minhash_sql(),
         "dup_clusters": oracle_extra.dup_clusters_sql(),

@@ -9,6 +9,15 @@ Times the staged, checkpointed KG-construction pipeline end-to-end at
      "docs_per_sec": ..., "triples_per_sec": ...}
 
 Usage: python bench.py [--cores N] [--sf-dir DIR]
+
+The recorded number is REGIME-QUALIFIED: this sandbox host has multi-minute
+noisy-neighbor phases (BENCH/BASELINE.md host probes) that can double a
+wall-clock sample, so each rep is preceded by the same two health probes the
+scaling protocol gates on (single-thread ALU loop + 200 MB tmpfs write); the
+reported value is the min over reps that started in a CALM window, extra
+reps are added (up to SPARK_GRAFT_BENCH_MAX_REPS) until two calm reps exist,
+and the probe log ships in the JSON ("rep_probes", "regime") so a degraded
+recording is self-describing. Disable with SPARK_GRAFT_BENCH_GATE=0.
 """
 
 from __future__ import annotations
@@ -23,6 +32,42 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# healthy nominals on this host: ALU loop ~0.3 s, 200 MB tmpfs write ~0.3 s
+# (tools/scaling._healthy uses the same probes and thresholds)
+_CPU_CALM_S, _IO_CALM_S = 0.6, 0.9
+
+
+def _probe() -> tuple[float, float]:
+    """One host-regime sample: (single-thread ALU seconds, tmpfs-write
+    seconds). The sick phases come in exactly these two flavors — CPU
+    contention and page-allocation/IO stalls (PLANS.md stack samples)."""
+    s = time.perf_counter()
+    x = 0
+    for i in range(3_000_000):
+        x += i * i % 7
+    cpu_dt = time.perf_counter() - s
+    io_dt = 0.0
+    if os.path.isdir("/dev/shm"):
+        s = time.perf_counter()
+        with open("/dev/shm/_bench_probe", "wb") as f:
+            f.write(b"\x5a" * (200 * 1024 * 1024))
+        os.remove("/dev/shm/_bench_probe")
+        io_dt = time.perf_counter() - s
+    return round(cpu_dt, 3), round(io_dt, 3)
+
+
+def _wait_calm(max_wait_s: float) -> tuple[float, float, bool]:
+    """Block (bounded) until the host looks calm; returns the last probe
+    plus whether it was calm. Never blocks past max_wait_s — a permanently
+    sick host still gets measured, just flagged."""
+    t0 = time.perf_counter()
+    while True:
+        cpu_dt, io_dt = _probe()
+        calm = cpu_dt < _CPU_CALM_S and io_dt < _IO_CALM_S
+        if calm or time.perf_counter() - t0 > max_wait_s:
+            return cpu_dt, io_dt, calm
+        time.sleep(10)
 
 
 def main() -> None:
@@ -78,17 +123,55 @@ def main() -> None:
         # thread pool → overlap wins) and the host's bus regime (contended
         # bus → serial wins); taking the min reports the best schedule for
         # the measured host, the same choice a cluster scheduler makes.
-        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-        total, pipe, rep_walls = None, None, []
-        for rep in range(reps):
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+        max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8")))
+        gated = os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0"
+        total, pipe, rep_walls, rep_probes = None, None, [], []
+        calm_best, calm_pipe, n_calm = None, None, 0
+        rep = 0
+        # run the planned reps; keep adding (to max_reps) until two reps
+        # started in a calm probe window, so the recorded min is
+        # regime-qualified rather than whatever bus regime this round drew
+        while rep < reps or (gated and n_calm < 2 and rep < max_reps):
+            if gated:
+                cpu_dt, io_dt, calm = _wait_calm(45.0 if rep < reps else 90.0)
+            else:
+                cpu_dt, io_dt, calm = 0.0, 0.0, True
             parallel = (rep % 2 == 1) if forced is None else forced == "1"
             p = Pipeline(spark, sf_dir, os.path.join(work, f"run{rep}"))
             t0 = time.perf_counter()
             p.run(resume=False, parallel=parallel)
             wall = round(time.perf_counter() - t0, 3)
             rep_walls.append(wall)
+            rep_probes.append(
+                {"cpu_s": cpu_dt, "io_s": io_dt, "calm": calm, "wall": wall,
+                 "parallel": parallel}
+            )
             if total is None or wall < total:
                 total, pipe = wall, p
+            if calm:
+                n_calm += 1
+                if calm_best is None or wall < calm_best:
+                    calm_best, calm_pipe = wall, p
+            if p is not pipe and p is not calm_pipe:
+                # superseded rep: drop its checkpoints to keep tmpfs bounded
+                shutil.rmtree(os.path.join(work, f"run{rep}"), ignore_errors=True)
+            rep += 1
+        # the reported value is the min over CALM reps when any exist
+        if calm_best is not None:
+            total, pipe = calm_best, calm_pipe
+        regime = "calm" if n_calm else "degraded"
+        # spread compares like with like: calm reps running the SAME DAG
+        # schedule as the winner (serial and overlapped walls differ by
+        # design — the alternation exists to pick the better one)
+        win = min(
+            (q for q in rep_probes if q["wall"] == total), key=lambda q: q["wall"]
+        )
+        base = [
+            q["wall"] for q in rep_probes
+            if q["calm"] == win["calm"] and q["parallel"] == win["parallel"]
+        ] or rep_walls
+        spread_pct = round((max(base) - min(base)) / min(base) * 100, 1)
 
         lin = pipe.lineage().toPandas()
         stage_ms = lin.drop_duplicates(["stage"]).set_index("stage")["wall_ms"]
@@ -108,6 +191,9 @@ def main() -> None:
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             "cores": cores,
             "rep_walls": rep_walls,
+            "rep_probes": rep_probes,
+            "regime": regime,
+            "rep_spread_pct": spread_pct,
             "rows": {k: int(v) for k, v in rows.items()},
             "docs_per_sec": round(n_docs / total, 2),
             "triples_per_sec": round(n_triples / total, 2),

@@ -332,6 +332,33 @@ def qctx_prompt(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
     )
 
 
+def qctx_prompt_chain(
+    spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
+) -> DataFrame:
+    """The COMPLETE deterministic answer-prompt chain as (step, prompt)
+    rows — the reference's full query lifecycle deliverable
+    (query.py:395-470) beyond the single augmented prompt:
+
+    * ``augmented`` — the text-LLM system prompt (qctx_prompt's row);
+    * ``multimodal:<entity>`` — one mm-LLM system prompt per scraped
+      ORI_IMG entity, image info derived DISTRIBUTEDLY (the media relation
+      is filtered to the ≤NUM_MM_ENTITIES scraped names before the bounded
+      collect — answer.media_info_for);
+    * ``needs_merge`` — whether the merge prompts would fire.
+
+    The merge templates themselves depend on LLM responses (the production
+    swap point) and are byte-pinned against the reference in pytest.
+    """
+    out = local_answer_prompts(spark, sf_dir, cfg)
+    rows = [("augmented", out["augmented"])]
+    rows += [
+        (f"multimodal:{e}", p)
+        for e, p in zip(out["multimodal_refs"], out["multimodal"])
+    ]
+    rows.append(("needs_merge", "true" if out["needs_merge"] else "false"))
+    return spark.createDataFrame(rows, "step string, prompt string")
+
+
 def local_answer_prompts(
     spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT,
     query: str | None = None, response_type: str | None = None,

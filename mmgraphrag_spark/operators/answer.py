@@ -124,14 +124,15 @@ def assemble_answer_chain(
     their builders are returned by reference via this module's functions.
     """
     ents = mm_entities_from_context(entities_context, limit)
+    used = [e for e in ents if e in media_info]
     mm_prompts = [
         multimodal_prompt(context, *media_info[e], response_type=response_type)
-        for e in ents
-        if e in media_info
+        for e in used
     ]
     return {
         "augmented": augmented_prompt(context, response_type),
         "mm_entities": ents,
+        "multimodal_refs": used,
         "multimodal": mm_prompts,
         "needs_merge": bool(mm_prompts),
     }

@@ -965,6 +965,59 @@ SELECT replace(replace('{tpl}', '{{response_type}}', '{rt.replace("'", "''")}'),
     )
 
 
+def qctx_prompt_chain_sql(
+    cfg: PipelineConfig = DEFAULT, token_budget: int = 400,
+    response_type: str | None = None,
+) -> str:
+    """Twin of api.qctx_prompt_chain: the full deterministic answer-prompt
+    chain (reference query.py:395-470) as (step, prompt) rows — the
+    augmented text prompt, one multimodal prompt per scraped ORI_IMG seed
+    (caption joined from the media relation, image_information =
+    '{caption}, {footnote}' with the empty footnote), and the needs_merge
+    flag. The ORI_IMG scrape twin reads the same seed rows the entities CSV
+    is rendered from (type cell == ORI_IMG, CSV order == rnk, lowercased,
+    first NUM_MM_ENTITIES)."""
+    from .functions import prompt_templates as T
+    from .operators.query_ctx import CONTEXT_WRAPPER
+
+    rt = (response_type or T.DEFAULT_RESPONSE_TYPE).replace("'", "''")
+    tpl = T.LOCAL_RAG_RESPONSE_AUGMENTED.replace("'", "''")
+    tpl_mm = T.LOCAL_RAG_RESPONSE_MULTIMODAL.replace("'", "''")
+    w1, w2, w3, w4 = (p.replace("'", "''") for p in CONTEXT_WRAPPER)
+    ctx = (
+        f"'{w1}' || (SELECT body FROM ent_body) || "
+        f"'{w2}' || (SELECT body FROM rel_body) || "
+        f"'{w3}' || (SELECT body FROM src_body) || '{w4}'"
+    )
+    return (
+        cte_prefix(cfg) + "," + _qctx_ctes(cfg)
+        + _render_block_ctes(cfg, token_budget) + f""",
+mm AS (
+  SELECT lower(entity_name) AS name, rnk FROM seeds
+  WHERE entity_type = 'ORI_IMG' ORDER BY rnk LIMIT {T.NUM_MM_ENTITIES}
+),
+mmjoin AS (
+  SELECT m.name, m.rnk, s.text AS caption
+  FROM mm m JOIN spans s ON s.kind = 'image' AND lower(s.media_ref) = m.name
+)
+SELECT 'augmented' AS step,
+       replace(replace('{tpl}', '{{response_type}}', '{rt}'),
+               '{{context_data}}', {ctx}) AS prompt
+UNION ALL
+SELECT 'multimodal:' || name AS step,
+       replace(replace(replace('{tpl_mm}',
+               '{{response_type}}', '{rt}'),
+               '{{image_information}}', caption || ', '),
+               '{{context_data}}', {ctx}) AS prompt
+FROM mmjoin
+UNION ALL
+SELECT 'needs_merge' AS step,
+       CASE WHEN (SELECT count(*) FROM mmjoin) > 0
+            THEN 'true' ELSE 'false' END AS prompt
+"""
+    )
+
+
 def entity_vdb_topk_sql(
     cfg: PipelineConfig = DEFAULT, k: int = 5, threshold: float = 0.2,
     query: str | None = None,
