@@ -53,7 +53,8 @@ def main() -> None:
     ap.add_argument(
         "--source", default=None, metavar="KIND=PATH",
         help="real-ingestion front end instead of the documents table: "
-             "mineru=<glob of *_content_list.json>, docx=<glob>, pdf=<glob>",
+             "mineru=<glob of *_content_list.json>, mineru-pdf=<glob of raw "
+             ".pdf, runs magic-pdf first>, docx=<glob>, pdf=<glob>",
     )
     ap.add_argument(
         "--export-graphml", default=None, metavar="PATH",

@@ -49,6 +49,7 @@ class Pipeline:
     # real ingestion source for the spans stage — everything downstream is
     # unchanged (the whole engine consumes the one spans relation):
     #   ("mineru", ".../auto/*_content_list.json")  sources/mineru.py
+    #   ("mineru-pdf", ".../*.pdf")                  magic-pdf shell-out first
     #   ("docx",   ".../*.docx")                    sources/docx.py
     #   ("pdf",    ".../*.pdf")                     sources/pdf.py
     source: tuple[str, str] | None = None
@@ -62,6 +63,15 @@ class Pipeline:
 
             return mineru.content_list_spans(
                 mineru.read_content_lists(self.spark, path)
+            )
+        if kind == "mineru-pdf":
+            # raw PDFs through the magic-pdf shell-out front half (the
+            # reference's own MinerU invocation), then the content lists
+            from ..sources import mineru
+
+            lists = mineru.mineru_convert(path, self.work_dir + "/_mineru")
+            return mineru.content_list_spans(
+                mineru.read_content_lists(self.spark, lists)
             )
         if kind == "docx":
             from ..sources import docx

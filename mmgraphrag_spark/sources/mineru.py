@@ -42,6 +42,52 @@ MINERU_ITEM = (
 )
 
 
+def mineru_convert(
+    pdf_glob: str, output_dir: str, binary: str = "magic-pdf"
+) -> str:
+    """S3 front half: shell out to MinerU's ``magic-pdf`` CLI for every raw
+    PDF matching ``pdf_glob`` and return the content-list glob
+    ``read_content_lists`` consumes — the exact command and output layout
+    the reference uses (``magic-pdf -p <pdf> -o <out>`` →
+    ``<out>/<name>/auto/<name>_content_list.json``,
+    /root/reference/mmgraphrag/pdf2md_preprocessing.py:316-349), including
+    its already-converted resume check.
+
+    Driver-side by design: MinerU is a GPU layout-analysis batch tool that
+    runs BEFORE the Spark job — the engine boundary is the content-list
+    JSON. On a cluster, run magic-pdf as its own batch step writing to the
+    shared store and point the returned glob there; the Spark side never
+    shells out per row. Raises FileNotFoundError (loudly, never a silent
+    empty scan) when the binary is not installed.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import subprocess
+
+    pdfs = sorted(_glob.glob(pdf_glob))
+    if not pdfs:
+        raise FileNotFoundError(f"no PDFs match {pdf_glob!r}")
+    if shutil.which(binary) is None:
+        raise FileNotFoundError(
+            f"{binary!r} not on PATH — install MinerU (pip install magic-pdf) "
+            "or start from its content-list JSON via the 'mineru' source"
+        )
+    for p in pdfs:
+        name = os.path.splitext(os.path.basename(p))[0]
+        out_folder = os.path.join(output_dir, name, "auto")
+        # the reference's resume check: skip already-converted docs
+        if os.path.isdir(out_folder) and any(
+            f.endswith("_content_list.json") for f in os.listdir(out_folder)
+        ):
+            continue
+        subprocess.run(
+            [binary, "-p", p, "-o", output_dir],
+            capture_output=True, text=True, check=True,
+        )
+    return os.path.join(output_dir, "*", "auto", "*_content_list.json")
+
+
 def read_content_lists(spark: SparkSession, path: str) -> DataFrame:
     """(doc_id, json): one row per content-list file.
 

@@ -260,6 +260,51 @@ def test_full_pipeline_runs_from_mineru_source(spark, tmp_path):
     assert out["context"] in out["augmented"]
 
 
+def test_mineru_convert_shells_out_and_feeds_content_lists(spark, tmp_path, monkeypatch):
+    """S3 front half: mineru_convert drives the magic-pdf CLI exactly as the
+    reference does (pdf2md_preprocessing.py:316-349 — `-p <pdf> -o <out>`,
+    `<out>/<name>/auto/<name>_content_list.json` layout, already-converted
+    resume skip) and its output feeds read_content_lists unchanged."""
+    import os
+
+    fake_bin = tmp_path / "bin"
+    fake_bin.mkdir()
+    fake = fake_bin / "magic-pdf"
+    fake.write_text(
+        '#!/bin/sh\n'
+        'pdf="$2"; out="$4"\n'
+        'name=$(basename "$pdf" .pdf)\n'
+        'mkdir -p "$out/$name/auto"\n'
+        'printf \'[{"type": "text", "text": "hello from %s", "page_idx": 0},\n'
+        ' {"type": "image", "img_path": "images/x.jpg",'
+        ' "img_caption": ["fig"], "page_idx": 0}]\' "$name" '
+        '> "$out/$name/auto/${name}_content_list.json"\n'
+    )
+    fake.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{fake_bin}:{os.environ['PATH']}")
+    (tmp_path / "a.pdf").write_bytes(b"%PDF-1.4 fake")
+    (tmp_path / "b.pdf").write_bytes(b"%PDF-1.4 fake")
+    out = tmp_path / "out"
+    lists_glob = mineru.mineru_convert(str(tmp_path / "*.pdf"), str(out))
+    spans = mineru.content_list_spans(
+        mineru.read_content_lists(spark, lists_glob)
+    )
+    rows = sorted((r.doc_id, r.kind, r.media_ref) for r in spans.collect())
+    assert rows == [
+        ("a", "image", "a/image_1"), ("a", "text", ""),
+        ("b", "image", "b/image_1"), ("b", "text", ""),
+    ]
+    # resume: a failing binary must not matter once outputs exist
+    fake.write_text("#!/bin/sh\nexit 1\n")
+    assert mineru.mineru_convert(str(tmp_path / "*.pdf"), str(out)) == lists_glob
+    # missing binary fails loudly, never a silent empty scan
+    monkeypatch.setenv("PATH", str(tmp_path))  # no magic-pdf here
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="not on PATH"):
+        mineru.mineru_convert(str(tmp_path / "*.pdf"), str(tmp_path / "out2"))
+
+
 def test_pdf_reader_decodes_cid_type0_text():
     """A CID/Type0 PDF (hex show strings, /Identity-H, /ToUnicode CMap with
     bfchar + both bfrange forms) decodes to the same spans as its WinAnsi
