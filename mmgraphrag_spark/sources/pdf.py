@@ -20,8 +20,12 @@ implements the well-formed subset directly on the COS object syntax:
   the active font is tracked across ``Tf`` operators — matching what the
   reference gets from PyMuPDF on the common case
   (pdf_preprocessing.py:313-399). A Type0 font WITHOUT a /ToUnicode CMap
-  is the remaining swap point: its show strings are dropped loudly (empty,
-  never garbled);
+  falls back to inverting the embedded subset TrueType's own ``cmap``
+  table (/DescendantFonts -> /FontDescriptor -> /FontFile2; formats
+  4/6/12; composed with /CIDToGIDMap) — what font-aware readers do
+  natively. Only a Type0 font with neither (e.g. a CFF /FontFile3) remains
+  the swap point: its show strings are dropped loudly (empty, never
+  garbled);
 * image XObjects (``/Subtype /Image``) are collected in object order and
   matched to ``Do`` draw operators sequentially; raw ``/DCTDecode`` stream
   bytes ARE the jpeg.
@@ -183,11 +187,153 @@ def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
     return cmap, width
 
 
+# ---- embedded-TrueType cmap fallback (Type0 fonts without /ToUnicode) ------
+
+_DESCFONTS_ARR_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+0\s+R")
+_DESCFONTS_REF_RE = re.compile(rb"/DescendantFonts\s+(\d+)\s+0\s+R")
+_FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+0\s+R")
+_FONTFILE2_RE = re.compile(rb"/FontFile2\s+(\d+)\s+0\s+R")
+_CID2GID_RE = re.compile(rb"/CIDToGIDMap\s+(\d+)\s+0\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+
+def _u16(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o:o + 2], "big")
+
+
+def _u32(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o:o + 4], "big")
+
+
+def _ttf_gid_to_unicode(ttf: bytes) -> dict[int, str]:
+    """A TrueType blob -> {glyph id: unicode char}, inverting its ``cmap``
+    table. Subset fonts embedded via /FontFile2 keep their character-to-glyph
+    map even when the PDF omits /ToUnicode, so the inverse recovers text the
+    way font-aware readers (the reference's PyMuPDF,
+    pdf_preprocessing.py:313-399) do natively. Supports the subtable formats
+    subsetters emit: 4 (segment delta/range), 6 (trimmed), 12 (32-bit
+    groups); prefers the (3,1)/(0,*) Unicode encodings. When two characters
+    share a glyph the LOWEST code point wins, deterministically."""
+    try:
+        if len(ttf) < 12:
+            return {}
+        n_tables = _u16(ttf, 4)
+        cmap_off = None
+        for i in range(n_tables):
+            rec = 12 + 16 * i
+            if ttf[rec:rec + 4] == b"cmap":
+                cmap_off = _u32(ttf, rec + 8)
+                break
+        if cmap_off is None or cmap_off + 4 > len(ttf):
+            return {}
+        best = None  # (preference, subtable offset)
+        for i in range(_u16(ttf, cmap_off + 2)):
+            rec = cmap_off + 4 + 8 * i
+            plat, enc = _u16(ttf, rec), _u16(ttf, rec + 2)
+            off = cmap_off + _u32(ttf, rec + 4)
+            pref = {(3, 1): 0, (0, 3): 1, (0, 4): 1}.get((plat, enc), 2 if plat == 0 else 3)
+            if best is None or pref < best[0]:
+                best = (pref, off)
+        if best is None:
+            return {}
+        sub = best[1]
+        char_to_gid: dict[int, int] = {}
+        fmt = _u16(ttf, sub)
+        if fmt == 4:
+            seg2 = _u16(ttf, sub + 6)
+            segs = seg2 // 2
+            end_at, start_at = sub + 14, sub + 16 + seg2
+            delta_at, range_at = start_at + seg2, start_at + 2 * seg2
+            for s in range(segs):
+                end_c = _u16(ttf, end_at + 2 * s)
+                start_c = _u16(ttf, start_at + 2 * s)
+                delta = _u16(ttf, delta_at + 2 * s)
+                roff = _u16(ttf, range_at + 2 * s)
+                if start_c > end_c or start_c == 0xFFFF:
+                    continue
+                for c in range(start_c, end_c + 1):
+                    if roff == 0:
+                        gid = (c + delta) & 0xFFFF
+                    else:
+                        at = range_at + 2 * s + roff + 2 * (c - start_c)
+                        gid = _u16(ttf, at)
+                        if gid:
+                            gid = (gid + delta) & 0xFFFF
+                    if gid:
+                        char_to_gid.setdefault(c, gid)
+        elif fmt == 6:
+            first, cnt = _u16(ttf, sub + 6), _u16(ttf, sub + 8)
+            for k in range(cnt):
+                gid = _u16(ttf, sub + 10 + 2 * k)
+                if gid:
+                    char_to_gid.setdefault(first + k, gid)
+        elif fmt == 12:
+            n_groups = _u32(ttf, sub + 12)
+            for g in range(n_groups):
+                at = sub + 16 + 12 * g
+                start_c, end_c = _u32(ttf, at), _u32(ttf, at + 4)
+                start_g = _u32(ttf, at + 8)
+                if end_c - start_c > 0x10FFFF:  # corrupt group: bail
+                    return {}
+                for k in range(end_c - start_c + 1):
+                    if start_g + k:
+                        char_to_gid.setdefault(start_c + k, start_g + k)
+        gid_to_char: dict[int, str] = {}
+        for c in sorted(char_to_gid):  # lowest code point wins per glyph
+            gid_to_char.setdefault(char_to_gid[c], chr(c))
+        return gid_to_char
+    except (IndexError, ValueError, OverflowError):
+        return {}
+
+
+def _type0_fontfile_cmap(fb: bytes, bodies: dict[int, bytes]):
+    """Type0-without-/ToUnicode fallback: walk /DescendantFonts ->
+    /FontDescriptor -> /FontFile2, invert the embedded TrueType's cmap, and
+    compose with /CIDToGIDMap (Identity by default; a stream map is 2 bytes
+    per CID). Returns the same ``({code: text}, width)`` shape as
+    ``_parse_tounicode`` (Identity-H codes are 2-byte CIDs), or ``None``
+    when the font embeds nothing invertible (CFF /FontFile3, no font file:
+    the loud-drop path)."""
+    dm = _DESCFONTS_ARR_RE.search(fb)
+    if dm:
+        desc = bodies.get(int(dm.group(1)))
+    else:
+        dm = _DESCFONTS_REF_RE.search(fb)
+        arr = bodies.get(int(dm.group(1))) if dm else None
+        rm = _REF_RE.search(arr) if arr else None
+        desc = bodies.get(int(rm.group(1))) if rm else None
+    if desc is None:
+        return None
+    fdm = _FONTDESC_RE.search(desc)
+    fd = bodies.get(int(fdm.group(1))) if fdm else None
+    ffm = _FONTFILE2_RE.search(fd) if fd else None
+    ttf = _stream_data(bodies[int(ffm.group(1))]) if ffm and int(ffm.group(1)) in bodies else None
+    if not ttf:
+        return None
+    gid_to_char = _ttf_gid_to_unicode(ttf)
+    if not gid_to_char:
+        return None
+    c2g = _CID2GID_RE.search(desc)
+    if c2g and int(c2g.group(1)) in bodies:
+        gmap = _stream_data(bodies[int(c2g.group(1))])
+        if gmap is None:
+            return None
+        cmap = {}
+        for cid in range(len(gmap) // 2):
+            ch = gid_to_char.get(_u16(gmap, 2 * cid))
+            if ch:
+                cmap.setdefault(cid, ch)
+        return cmap, 2
+    # /CIDToGIDMap /Identity (or absent, the default): CID == GID
+    return {gid: ch for gid, ch in gid_to_char.items()}, 2
+
+
 def _font_cmaps(bodies: dict[int, bytes]):
-    """Resource-name -> decode rule: (cmap, width) for /ToUnicode fonts,
-    ``None`` for Type0 fonts WITHOUT one (loud drop), absent for simple
-    fonts (latin-1). Resource dicts are resolved globally — per-page name
-    collisions (rare; generators emit consistent names) take the last."""
+    """Resource-name -> decode rule: (cmap, width) for fonts decodable via
+    /ToUnicode or an embedded-TrueType cmap inverse, ``None`` for Type0
+    fonts with neither (loud drop), absent for simple fonts (latin-1).
+    Resource dicts are resolved globally — per-page name collisions (rare;
+    generators emit consistent names) take the last."""
     fonts: dict[bytes, object] = {}
     for body in bodies.values():
         for fr in _FONTRES_RE.finditer(body):
@@ -203,7 +349,7 @@ def _font_cmaps(bodies: dict[int, bytes]):
                         fonts[name] = _parse_tounicode(data)
                         continue
                 if b"/Type0" in fb:
-                    fonts[name] = None
+                    fonts[name] = _type0_fontfile_cmap(fb, bodies)
     return fonts
 
 
@@ -378,7 +524,43 @@ def _cid_codes(charset: list[str]) -> tuple[dict[str, int], bytes]:
     return code_of, "\n".join(parts).encode()
 
 
-def pdf_bytes(pages: list, cid: bool = False) -> bytes:
+def _ttf_bytes(char_to_gid: dict[str, int]) -> bytes:
+    """Fixture helper: a minimal TrueType blob whose format-4 ``cmap``
+    subtable maps each char to its glyph id — the only table
+    ``_ttf_gid_to_unicode`` reads (a renderable font would also need glyf/
+    head/...; subset-extraction tests don't). Consecutive chars mapping to
+    consecutive gids collapse into delta segments, exercising the segment
+    walk; the spec-required terminal 0xFFFF segment is emitted."""
+    pts = sorted((ord(c), g) for c, g in char_to_gid.items())
+    segs = []  # (startCode, endCode, startGid)
+    for c, g in pts:
+        if segs and c == segs[-1][1] + 1 and g == segs[-1][2] + (c - segs[-1][0]):
+            segs[-1] = (segs[-1][0], c, segs[-1][2])
+        else:
+            segs.append((c, c, g))
+    segs.append((0xFFFF, 0xFFFF, 0))  # terminal segment (maps to gid 0)
+    n = len(segs)
+
+    def u16s(vals):
+        return b"".join(v.to_bytes(2, "big") for v in vals)
+
+    body = (
+        u16s([e for _, e, _ in segs]) + b"\x00\x00"
+        + u16s([s for s, _, _ in segs])
+        + u16s([((g - s) & 0xFFFF) for s, _, g in segs])
+        + u16s([0] * n)
+    )
+    sub = u16s([4, 14 + len(body), 0, 2 * n, 2, 0, 2 * n - 2]) + body
+    cmap = u16s([0, 1, 3, 1]) + (12).to_bytes(4, "big") + sub
+    return (
+        (0x00010000).to_bytes(4, "big") + u16s([1, 16, 0, 0])
+        + b"cmap" + (0).to_bytes(4, "big")
+        + (28).to_bytes(4, "big") + len(cmap).to_bytes(4, "big")
+        + cmap
+    )
+
+
+def pdf_bytes(pages: list, cid: bool = False, tounicode: bool = True) -> bytes:
     """Minimal PDF serializer. ``pages`` is a list of pages; each page is a
     list of str (text line) or ("image", jpeg_bytes) items. Content streams
     are Flate-compressed; images are /DCTDecode XObjects — exercising
@@ -387,7 +569,11 @@ def pdf_bytes(pages: list, cid: bool = False) -> bytes:
 
     ``cid=True`` emits the text through an /Identity-H Type0 font with a
     /ToUnicode CMap and hex show strings — the wild-academic-PDF encoding
-    shape — instead of WinAnsi literal strings."""
+    shape — instead of WinAnsi literal strings. ``tounicode=False`` (with
+    cid) omits the /ToUnicode CMap and instead embeds a subset TrueType
+    via /DescendantFonts -> /FontDescriptor -> /FontFile2 whose cmap table
+    carries the same code assignment — the shape wild subset-font PDFs
+    have, decodable only through the font-file inverse."""
     objs: dict[int, bytes] = {}
     img_count = 0
     page_obj_ids = []
@@ -401,17 +587,42 @@ def pdf_bytes(pages: list, cid: bool = False) -> bytes:
             if isinstance(item, str) for ch in item
         })
         code_of, cmap = _cid_codes(charset)
-        cmap_id = next_id
-        next_id += 1
-        objs[cmap_id] = (
-            b"<< /Length " + str(len(cmap)).encode()
-            + b" >>\nstream\n" + cmap + b"\nendstream"
-        )
-        objs[font_id] = (
-            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth"
-            b" /Encoding /Identity-H /ToUnicode "
-            + str(cmap_id).encode() + b" 0 R >>"
-        )
+        if tounicode:
+            cmap_id = next_id
+            next_id += 1
+            objs[cmap_id] = (
+                b"<< /Length " + str(len(cmap)).encode()
+                + b" >>\nstream\n" + cmap + b"\nendstream"
+            )
+            objs[font_id] = (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth"
+                b" /Encoding /Identity-H /ToUnicode "
+                + str(cmap_id).encode() + b" 0 R >>"
+            )
+        else:
+            desc_id, fd_id, ff_id = next_id, next_id + 1, next_id + 2
+            next_id += 3
+            ttf = _ttf_bytes(code_of)  # gid == CID (Identity map)
+            objs[ff_id] = (
+                b"<< /Length " + str(len(ttf)).encode()
+                + b" /Length1 " + str(len(ttf)).encode()
+                + b" >>\nstream\n" + ttf + b"\nendstream"
+            )
+            objs[fd_id] = (
+                b"<< /Type /FontDescriptor /FontName /Synth /Flags 4"
+                b" /FontFile2 " + str(ff_id).encode() + b" 0 R >>"
+            )
+            objs[desc_id] = (
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth"
+                b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+                b" /Supplement 0 >> /FontDescriptor " + str(fd_id).encode()
+                + b" 0 R /CIDToGIDMap /Identity >>"
+            )
+            objs[font_id] = (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth"
+                b" /Encoding /Identity-H /DescendantFonts ["
+                + str(desc_id).encode() + b" 0 R] >>"
+            )
     else:
         objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 

@@ -330,8 +330,9 @@ def test_pdf_reader_decodes_cid_type0_text():
 
 
 def test_pdf_reader_drops_type0_without_tounicode_loudly():
-    """A Type0 font with NO /ToUnicode CMap must yield EMPTY text (loud
-    drop), never latin-1 garbage — the documented remaining swap point."""
+    """A Type0 font with NO /ToUnicode CMap and no invertible embedded font
+    must yield EMPTY text (loud drop), never latin-1 garbage — the
+    documented remaining swap point."""
     blob = pdf.pdf_bytes([["hello world"]], cid=True)
     # strip the /ToUnicode reference from the font object
     import re as _re
@@ -339,6 +340,73 @@ def test_pdf_reader_drops_type0_without_tounicode_loudly():
     blob = _re.sub(rb"/ToUnicode \d+ 0 R", b"", blob)
     spans, _ = pdf.parse_pdf("d", blob)
     assert [s for s in spans if s[1] == "text"] == []
+
+
+def test_pdf_reader_decodes_type0_via_embedded_truetype_cmap():
+    """A Type0 PDF with NO /ToUnicode but an embedded subset TrueType
+    (/DescendantFonts -> /FontDescriptor -> /FontFile2) decodes by
+    inverting the font's own format-4 cmap table — the shape wild
+    subset-font PDFs have, which the reference reads via PyMuPDF's native
+    font handling (pdf_preprocessing.py:313-399). Codes are non-identity,
+    so latin-1 would garble and an ignored font file would drop."""
+    pages = [
+        ["Dice loss for Data-imbalanced NLP tasks!",
+         "We use the F1 score (macro), see: section 3."],
+        [("image", FAKE_JPEG), "after the figure, more prose."],
+    ]
+    blob = pdf.pdf_bytes(pages, cid=True, tounicode=False)
+    assert b"/ToUnicode" not in blob and b"/FontFile2" in blob
+    got, media = pdf.parse_pdf("d", blob)
+    got_simple, _ = pdf.parse_pdf("d", pdf.pdf_bytes(pages))
+    assert got == got_simple
+    assert len(media) == 1 and media[0][3] == FAKE_JPEG
+
+
+def test_ttf_cmap_inverse_formats_and_cid_to_gid_stream():
+    """The TrueType cmap inverse handles format 12 (32-bit groups) and
+    format 6 (trimmed) subtables, picks the lowest code point when two
+    chars share a glyph, and composes with a /CIDToGIDMap STREAM (2 bytes
+    per CID) instead of /Identity."""
+    import struct
+
+    def ttf_with(subtable: bytes, plat=3, enc=1) -> bytes:
+        cmap = struct.pack(">HHHHI", 0, 1, plat, enc, 12) + subtable
+        return (
+            struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+            + b"cmap" + struct.pack(">III", 0, 28, len(cmap))
+            + cmap
+        )
+
+    # format 12: 'A','B' -> gids 7,8 ; 'a' -> gid 7 too (ties: lowest wins)
+    f12 = struct.pack(
+        ">HHIII", 12, 0, 16 + 24, 0, 2
+    ) + struct.pack(">III", ord("A"), ord("B"), 7) + struct.pack(
+        ">III", ord("a"), ord("a"), 7
+    )
+    inv = pdf._ttf_gid_to_unicode(ttf_with(f12, plat=0, enc=4))
+    assert inv == {7: "A", 8: "B"}
+
+    # format 6: first=0x30 ('0'..'2') -> gids 5,0,6 (gid 0 = unmapped)
+    f6 = struct.pack(">HHHHHHHH", 6, 20, 0, 0x30, 3, 5, 0, 6)
+    inv6 = pdf._ttf_gid_to_unicode(ttf_with(f6))
+    assert inv6 == {5: "0", 6: "2"}
+
+    # compose with a CIDToGIDMap stream: CID 1 -> gid 5, CID 2 -> gid 6
+    ttf = ttf_with(f6)
+    gmap = struct.pack(">HHH", 0, 5, 6)  # CID 0 -> gid 0 (notdef)
+    bodies = {
+        1: b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H"
+           b" /DescendantFonts [2 0 R] >>",
+        2: b"<< /Subtype /CIDFontType2 /FontDescriptor 3 0 R"
+           b" /CIDToGIDMap 5 0 R >>",
+        3: b"<< /FontFile2 4 0 R >>",
+        4: b"<< /Length " + str(len(ttf)).encode()
+           + b" >>\nstream\n" + ttf + b"\nendstream",
+        5: b"<< /Length " + str(len(gmap)).encode()
+           + b" >>\nstream\n" + gmap + b"\nendstream",
+    }
+    cmap, width = pdf._type0_fontfile_cmap(bodies[1], bodies)
+    assert width == 2 and cmap == {1: "0", 2: "2"}
 
 
 def test_pdf_reader_extracts_real_acl_paper_text():
