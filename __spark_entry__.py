@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # result relation, so it shares kg_fused_*'s oracle SQL verbatim
         "kg_fused_nodes_incr": api.fused_nodes_incremental,
         "kg_fused_edges_incr": api.fused_edges_incremental,
+        # beyond-reference KG analytics: fixed-point integer PageRank over
+        # the fused graph — exactly reproducible, full value-hash oracle
+        # (unrolled-iteration DuckDB CTEs)
+        "kg_pagerank": api.pagerank,
         "kg_enhanced_nodes": api.enhanced_nodes,
         "kg_enhanced_edges": api.enhanced_edges,
         # S3 MinerU ingestion: serializer ∘ parser round trip over the
@@ -113,6 +117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
         "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
         "dup_clusters": lambda s, d: dedup.duplicate_clusters(dedup.docs_table(s, d)),
+        # large-star/small-star components (O(log n) rounds on stringy
+        # graphs): same relation, same oracle — a physical-strategy variant
+        "dup_clusters_star": lambda s, d: dedup.duplicate_clusters(
+            dedup.docs_table(s, d), method="star"
+        ),
         "dup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(dedup.docs_table(s, d)),
         "dup_simhash": lambda s, d: dedup.simhash(dedup.docs_table(s, d)),
         "dup_simhash_pairs": lambda s, d: dedup.simhash_near_duplicates(dedup.docs_table(s, d)),
@@ -154,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_fused_edges": oracle.q(oracle.fused_edges_select()),
         "kg_fused_nodes_incr": oracle.q(oracle.fused_nodes_select()),
         "kg_fused_edges_incr": oracle.q(oracle.fused_edges_select()),
+        "kg_pagerank": oracle.q(oracle.pagerank_select()),
         "kg_enhanced_nodes": oracle.q(oracle.enh_nodes_select()),
         "kg_enhanced_edges": oracle.q(oracle.enh_edges_select()),
         "mm_decode": oracle.q(oracle.mm_decode_select()),
@@ -172,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_exact": oracle_extra.dup_exact_sql(),
         "dup_minhash": oracle_extra.dup_minhash_sql(),
         "dup_clusters": oracle_extra.dup_clusters_sql(),
+        "dup_clusters_star": oracle_extra.dup_clusters_sql(),
         "dup_ngram_jaccard": oracle_extra.ngram_jaccard_sql(),
         "dup_simhash": oracle_extra.dup_simhash_sql(),
         "dup_simhash_pairs": oracle_extra.dup_simhash_pairs_sql(),

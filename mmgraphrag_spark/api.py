@@ -201,6 +201,14 @@ def fused_edges_incremental(
     return fused_graph_incremental(spark, sf_dir, cfg)[1]
 
 
+def pagerank(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Fixed-point integer PageRank over the fused graph (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.pagerank(n, e)
+
+
 def enhanced_graph(
     spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:

@@ -109,11 +109,13 @@ def minhash_signatures(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFr
     )
 
 
-def lsh_candidates(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    """(a, b, band): candidate pairs sharing an LSH band bucket (a < b)."""
+def lsh_bucket_rows(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """(doc_id, band, bkey): one row per LSH band bucket membership — the
+    joinable form of the signature (band rows equi-join on (band, bkey);
+    also the persistent bucket-store schema of the streaming dedup gate)."""
     sigs = minhash_signatures(docs, cfg)
     r = cfg.minhash_perms // cfg.minhash_bands
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -127,6 +129,11 @@ def lsh_candidates(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def lsh_candidates(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """(a, b, band): candidate pairs sharing an LSH band bucket (a < b)."""
+    bands = lsh_bucket_rows(docs, cfg)
     left = bands.alias("x")
     right = bands.alias("y")
     return (

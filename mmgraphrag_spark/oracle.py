@@ -1137,6 +1137,48 @@ def fused_edges_select() -> str:
     return 'SELECT src, dst, weight, description, source_id, "order" FROM fused_edges'
 
 
+def pagerank_select(
+    iters: int = 5, damping_pct: int = 85, scale: int = 1_000_000_000
+) -> str:
+    """Twin of operators/graphalgo.pagerank: the same fixed-point integer
+    recurrence unrolled as chained CTEs (one per iteration). Integer sums
+    are order-independent, so the value-hash match is exact.
+
+    Every pagerank CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    iteration references the previous one twice (plus pr_edges, which sits
+    on top of the ENTIRE fused-graph pipeline twin) — inlined, the plan
+    expands exponentially in `iters` and exhausts file handles re-scanning
+    the base parquet; materialized, each relation is computed once, exactly
+    like the engine's reused edge+degree DataFrame."""
+    base = (100 - damping_pct) * scale // 100
+    s = f"""
+, pr_edges AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+), pr_deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM pr_edges GROUP BY u
+), pr_r0 AS MATERIALIZED (
+  SELECT entity_name AS name, CAST({scale} AS BIGINT) AS rank FROM fused_nodes
+)"""
+    for i in range(iters):
+        s += f"""
+, pr_r{i + 1} AS MATERIALIZED (
+  SELECT n.name,
+         CAST({base} AS BIGINT)
+           + CAST(({damping_pct} * COALESCE(s.contrib, 0)) // 100
+                  AS BIGINT) AS rank
+  FROM pr_r{i} n LEFT JOIN (
+    SELECT e.v AS name, SUM(r.rank // d.deg) AS contrib
+    FROM pr_edges e
+    JOIN pr_r{i} r ON e.u = r.name
+    JOIN pr_deg d ON e.u = d.u
+    GROUP BY e.v
+  ) s ON n.name = s.name
+)"""
+    return s + f"\nSELECT name AS entity_name, rank AS rank_scaled FROM pr_r{iters}"
+
+
 def enh_nodes_select() -> str:
     return "SELECT entity_name, entity_type, description, source_id FROM enh_nodes"
 

@@ -53,6 +53,14 @@ class Pipeline:
     #   ("docx",   ".../*.docx")                    sources/docx.py
     #   ("pdf",    ".../*.pdf")                     sources/pdf.py
     source: tuple[str, str] | None = None
+    # Checkpoint table format. The engine is format-agnostic: every stage
+    # writes/reads through DataFrameWriter/Reader.format(...), so the
+    # documented Iceberg swap is this knob plus a catalog (writeTo on a
+    # cluster with the runtime jar); "orc" proves the abstraction with a
+    # second built-in columnar format (tests/test_pipeline.py). The
+    # driver-side lineage/metrics bookkeeping stays parquet (engine-internal
+    # metadata, written with pyarrow, no executor involvement).
+    checkpoint_format: str = "parquet"
     _metrics_buf: list = field(default_factory=list, repr=False)
     _lineage_buf: list = field(default_factory=list, repr=False)
 
@@ -102,7 +110,7 @@ class Pipeline:
         cluster's default parallelism, redistribute. At production scale the
         scan already yields thousands of partitions and this is a no-op.
         """
-        df = self.spark.read.parquet(self._path(table))
+        df = self.spark.read.format(self.checkpoint_format).load(self._path(table))
         # rehydrate columns the writer deliberately did not store because
         # they are derivable (see _decode): a projection at scan time costs
         # nothing, the stored bytes were real
@@ -123,12 +131,31 @@ class Pipeline:
         footer aggregation, no column data read) instead of silently
         returning 0 — a zero here would defeat the fused-graph 'auto'
         routing by making every merge map look dense."""
+        per_part = self._footer_rows(table)
+        if per_part is not None:
+            return sum(per_part)
+        return (
+            self.spark.read.format(self.checkpoint_format)
+            .load(self._path(table)).count()
+        )
+
+    def _footer_rows(self, table: str) -> list[int] | None:
+        """Per-file row counts from checkpoint file FOOTERS (driver-side
+        metadata, no data scan) — parquet via pyarrow.parquet, orc via
+        pyarrow.orc; None when the work_dir is remote (no local files) or
+        the format has no footer reader here (callers fall back to a
+        metadata-only Spark count)."""
+        ext = "orc" if self.checkpoint_format == "orc" else "parquet"
+        files = sorted(Path(self._path(table)).glob(f"*.{ext}"))
+        if not files:
+            return None
+        if self.checkpoint_format == "orc":
+            import pyarrow.orc as po
+
+            return [po.ORCFile(str(f)).nrows for f in files]
         import pyarrow.parquet as pq
 
-        files = list(Path(self._path(table)).glob("*.parquet"))
-        if files:
-            return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
-        return self.spark.read.parquet(self._path(table)).count()
+        return [pq.ParquetFile(str(f)).metadata.num_rows for f in files]
 
     def _write(self, df: DataFrame, table: str) -> int:
         """Write checkpoint + per-partition metrics; return row count.
@@ -139,14 +166,10 @@ class Pipeline:
         stage IO; at 100 TB that is the difference between 1× and 2× the
         job's read volume).
         """
-        df.write.mode("overwrite").parquet(self._path(table))
-        import pyarrow.parquet as pq
-
-        files = sorted(Path(self._path(table)).glob("*.parquet"))
-        per_part = [
-            (i, pq.ParquetFile(str(f)).metadata.num_rows, table, self.run_id)
-            for i, f in enumerate(files)
-        ] or [(0, 0, table, self.run_id)]
+        (df.write.mode("overwrite").format(self.checkpoint_format)
+         .save(self._path(table)))
+        rows = self._footer_rows(table) or [0]
+        per_part = [(i, n, table, self.run_id) for i, n in enumerate(rows)]
         self._metrics_buf.extend(per_part)
         return sum(n for _, n, _, _ in per_part)
 
@@ -198,11 +221,13 @@ class Pipeline:
 
     def lineage(self) -> DataFrame:
         self._flush_meta()
-        return self.read("_lineage", spread=False)
+        # bookkeeping is always parquet (pyarrow-written), independent of
+        # checkpoint_format
+        return self.spark.read.parquet(self._path("_lineage"))
 
     def metrics(self) -> DataFrame:
         self._flush_meta()
-        return self.read("_metrics", spread=False)
+        return self.spark.read.parquet(self._path("_metrics"))
 
     # ---- stages -------------------------------------------------------------
 

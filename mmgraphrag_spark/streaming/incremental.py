@@ -199,3 +199,132 @@ def batch_entity_counts(spark: SparkSession, mentions_dir: str) -> DataFrame:
             F.countDistinct("chunk_id").alias("chunk_appearances"),
         )
     )
+
+
+def stream_near_duplicates(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    cfg: PipelineConfig = DEFAULT,
+):
+    """Streaming near-duplicate ADMISSION GATE: as documents arrive, admit
+    only those not near-duplicating anything already admitted — the online
+    form of MinHash+LSH dedup a continuously-fed training-data pipeline
+    needs (the batch operators dedup a corpus at rest; this gates a feed).
+
+    State is two append-only parquet tables under ``out_dir``:
+
+    * ``admitted`` — the surviving documents (the gate's output relation);
+    * ``lsh_buckets`` — their LSH band rows ``(doc_id, band, bkey)``
+      (:func:`~..operators.dedup.lsh_bucket_rows`), the joinable index the
+      next batch probes.
+
+    Per micro-batch, every step is a distributed equi-join — nothing is
+    collected to the driver:
+
+    1. band rows for the batch docs probe the bucket store on
+       ``(band, bkey)`` → cross candidates (new doc, admitted doc);
+    2. candidates verify with the SAME exact shingle-Jaccard expression as
+       :func:`~..operators.dedup.minhash_near_duplicates` — new-doc shingle
+       sets from the batch, admitted-doc shingle sets re-derived from the
+       ``admitted`` table, BOTH left_semi-restricted to candidate docs, so
+       verification cost follows the candidate count, not the corpus;
+    3. survivors cluster WITHIN the batch (same verified-pair relation the
+       batch collapse uses) and only each cluster's min-doc_id rep is
+       admitted — so a batch containing its own duplicates admits one.
+
+    Equivalence to batch (tested): feeding doc_id-ordered batches through
+    the gate admits exactly the batch pipeline's
+    ``duplicate_clusters(...).cluster_rep`` set whenever near-dup components
+    are clique-like (replica families) — the min-id rep arrives first and
+    every later member verifies against it directly. For stringy components
+    the gate is by construction greedier (a doc is rejected only on a
+    VERIFIED match to an admitted doc — never transitively through another
+    rejected doc), which is the admission semantics a feed wants.
+
+    Scale shape: the bucket store grows with the ADMITTED corpus, bounded
+    by unique content; the probe is a bucketed equi-join against it; at
+    10^12 docs partition/bucket the store by ``bkey`` so batch probes
+    co-locate. Returns the started StreamingQuery (AvailableNow trigger —
+    rerun on arrival, same contract as :func:`stream_extract`).
+    """
+    from ..operators import dedup
+
+    thr_pm = int(threshold * 1_000_000)
+    store_path = f"{out_dir}/lsh_buckets"
+    admitted_path = f"{out_dir}/admitted"
+
+    def _jaccard(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame) -> DataFrame:
+        """(a, b) candidate pairs -> those with exact Jaccard >= threshold
+        (10^6-scaled integer floor; bit-identical to the batch verifier)."""
+        return (
+            cand.join(sh_a.withColumnRenamed("doc_id", "a")
+                      .withColumnRenamed("sh", "sha"), "a")
+            .join(sh_b.withColumnRenamed("doc_id", "b")
+                  .withColumnRenamed("sh", "shb"), "b")
+            .selectExpr(
+                "a", "b",
+                "size(array_intersect(sha, shb)) * 1000000L"
+                " div size(array_union(sha, shb)) AS jaccard_pm",
+            )
+            .filter(F.col("jaccard_pm") >= thr_pm)
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.select("doc_id", "text")
+        buckets = dedup.lsh_bucket_rows(docs, cfg)
+        try:
+            store = spark.read.parquet(store_path)
+            admitted = spark.read.parquet(admitted_path).select("doc_id", "text")
+        except Exception:  # first batch: no state tables yet
+            store = spark.createDataFrame([], "doc_id long, band int, bkey string")
+            admitted = spark.createDataFrame([], "doc_id long, text string")
+        cand = (
+            buckets.alias("n")
+            .join(store.alias("o"), ["band", "bkey"])
+            .select(F.col("n.doc_id").alias("a"), F.col("o.doc_id").alias("b"))
+            .distinct()
+        )
+        sh_new = dedup._shingle_sets(
+            dedup.shingle_rows(docs, cfg)
+            .join(cand.select(F.col("a").alias("doc_id")).distinct(),
+                  "doc_id", "left_semi")
+        )
+        sh_old = dedup._shingle_sets(
+            dedup.shingle_rows(admitted, cfg)
+            .join(cand.select(F.col("b").alias("doc_id")).distinct(),
+                  "doc_id", "left_semi")
+        )
+        dup_of_old = _jaccard(cand, sh_new, sh_old)
+        novel = docs.join(
+            dup_of_old.select(F.col("a").alias("doc_id")).distinct(),
+            "doc_id", "left_anti",
+        )
+        reps = dedup.duplicate_clusters(
+            novel,
+            pairs=dedup.minhash_near_duplicates(novel, threshold, cfg),
+            cfg=cfg,
+        )
+        admit_ids = (
+            reps.filter(F.col("doc_id") == F.col("cluster_rep"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)  # cut the iterative-clustering plan
+        )
+        batch_df.join(admit_ids, "doc_id", "left_semi").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(admitted_path)
+        buckets.join(admit_ids, "doc_id", "left_semi").write.mode(
+            "append"
+        ).parquet(store_path)
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -143,3 +143,28 @@ def test_parallel_dag_equals_sequential(spark, tmp_path):
         assert a.count() == b.count(), table
         assert a.exceptAll(b).count() == 0, table
         assert b.exceptAll(a).count() == 0, table
+
+
+def test_checkpoint_format_orc_round_trips(spark, pipe, tmp_path):
+    """The checkpoint layer is format-agnostic (the documented Iceberg swap
+    is a writer/catalog knob, not a rewrite): the same pipeline run with
+    checkpoint_format='orc' produces value-identical tables, per-partition
+    footer metrics, resume markers, and a working fused-graph 'auto' row
+    count — with zero parquet files among the data checkpoints."""
+    from pathlib import Path
+
+    p = Pipeline(spark, SF_TINY, str(tmp_path / "orc"), checkpoint_format="orc")
+    p.run(resume=False)
+    for table in ["spans", "chunks", "mentions", "edges", "fused_nodes"]:
+        a = p.read(table, spread=False)
+        b = pipe.read(table, spread=False)
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table
+        files = list(Path(p.work_dir, table).iterdir())
+        assert any(f.suffix == ".orc" for f in files), table
+        assert not any(f.suffix == ".parquet" for f in files), table
+        # footer metrics (no data scan) agree with the real count
+        assert p._nrows(table) == b.count(), table
+    # resume still recognizes completed stages; bookkeeping stays parquet
+    assert not any(p.run(resume=True).values())
+    assert p.lineage().count() > 0 and p.metrics().count() > 0

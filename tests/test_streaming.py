@@ -210,3 +210,76 @@ def test_stateful_counts_chunk_straddling_two_batches_counted_once(spark, tmp_pa
         .collect()[0]
     )
     assert final["m"] == 2 and final["c"] == 1
+
+
+def test_stream_near_duplicate_gate_matches_batch_collapse(spark, tmp_path):
+    """Streaming MinHash+LSH admission gate: feeding doc_id-ordered batches
+    admits exactly the batch pipeline's cluster representatives when
+    near-dup components are replica cliques — across TWO separate gate runs
+    sharing state (checkpoint + bucket store), and within one batch that
+    contains its own duplicates."""
+    from mmgraphrag_spark.operators import dedup
+
+    src = str(tmp_path / "gate_src")
+    out = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "gate_ckpt")
+
+    base = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .orderBy("doc_id").limit(12)
+    )
+    # replica families: each original gets an exact-duplicate twin at
+    # doc_id+1000 (clique components; Jaccard 1.0)
+    originals = base
+    replicas = base.withColumn("doc_id", F.col("doc_id") + F.lit(1000))
+    # a brand-new family arriving entirely inside batch 2: two duplicates
+    # of each other and of nothing admitted before
+    novel_text = "zebra quantum lattice " * 40
+    novel = spark.createDataFrame(
+        [(2001, novel_text, "en", "synt", len(novel_text)),
+         (2002, novel_text, "en", "synt", len(novel_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    all_docs = originals.unionByName(replicas).unionByName(novel)
+
+    def drain():
+        q = incremental.stream_near_duplicates(spark, src, out, ckpt)
+        q.awaitTermination(180)
+
+    # batch 1: originals only (low ids first = doc_id-ordered feed)
+    originals.write.mode("append").parquet(src)
+    drain()
+    admitted1 = set(
+        r.doc_id for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    # originals share no near-dups among themselves at sf_tiny? verify via
+    # the batch operator rather than assuming:
+    want1 = set(
+        r.doc_id
+        for r in dedup.duplicate_clusters(originals)
+        .filter(F.col("doc_id") == F.col("cluster_rep")).collect()
+    )
+    assert admitted1 == want1
+
+    # batch 2: replicas + the novel family, same checkpoint -> state resumes
+    replicas.unionByName(novel).write.mode("append").parquet(src)
+    drain()
+    admitted2 = set(
+        r.doc_id for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    want_all = set(
+        r.doc_id
+        for r in dedup.duplicate_clusters(all_docs)
+        .filter(F.col("doc_id") == F.col("cluster_rep")).collect()
+    )
+    assert admitted2 == want_all
+    # every replica was rejected; exactly one of the novel pair admitted
+    assert not any(d >= 1000 and d < 2000 for d in admitted2)
+    assert len(admitted2 & {2001, 2002}) == 1
+    # the bucket store indexes exactly the admitted docs
+    store_docs = set(
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/lsh_buckets")
+        .select("doc_id").distinct().collect()
+    )
+    assert store_docs == admitted2
