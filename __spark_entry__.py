@@ -20,7 +20,7 @@ from dataclasses import replace  # noqa: E402
 
 from mmgraphrag_spark import api, oracle, oracle_extra, synth  # noqa: E402
 from mmgraphrag_spark.config import DEFAULT  # noqa: E402
-from mmgraphrag_spark.operators import dedup, similarity, textstats  # noqa: E402
+from mmgraphrag_spark.operators import curation, dedup, similarity, textstats  # noqa: E402
 from mmgraphrag_spark.sources import docx, mineru, pdf  # noqa: E402
 
 # S3 media-context word radius for the driver query (reference default is
@@ -75,6 +75,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the fused graph — exactly reproducible, full value-hash oracle
         # (unrolled-iteration DuckDB CTEs)
         "kg_pagerank": api.pagerank,
+        # degree-orientation triangle enumeration + wedge-count neighborhood
+        # Jaccard (structural-duplicate candidates) — both exact-integer,
+        # full value-hash oracles
+        "kg_triangles": api.triangles,
+        "kg_neighbor_sim": api.neighbor_sim,
         "kg_enhanced_nodes": api.enhanced_nodes,
         "kg_enhanced_edges": api.enhanced_edges,
         # S3 MinerU ingestion: serializer ∘ parser round trip over the
@@ -138,6 +143,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: textstats.quality_scores(dedup.docs_table(s, d)),
         "text_langid": lambda s, d: textstats.language_id(dedup.docs_table(s, d)),
         "text_fingerprints": lambda s, d: textstats.fingerprints(dedup.docs_table(s, d)),
+        # per-doc top-k keywords: raw-ratio integer IDF so the top-k CUT is
+        # exact cross-engine (a float-log idf can flip ties in the ranking)
+        "text_tfidf": lambda s, d: textstats.tfidf_topk(dedup.docs_table(s, d)),
+        # curation: seedless hash-bucket stratified sampling + fixed-budget
+        # concat-and-chunk sequence packing (operators/curation.py)
+        "curation_sample": lambda s, d: curation.stratified_sample(
+            curation.docs_table(s, d)
+        ),
+        "curation_pack": lambda s, d: curation.pack_sequences(curation.docs_table(s, d)),
     }
 
 
@@ -164,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_fused_nodes_incr": oracle.q(oracle.fused_nodes_select()),
         "kg_fused_edges_incr": oracle.q(oracle.fused_edges_select()),
         "kg_pagerank": oracle.q(oracle.pagerank_select()),
+        "kg_triangles": oracle.q(oracle.triangles_select()),
+        "kg_neighbor_sim": oracle.q(oracle.neighbor_sim_select()),
         "kg_enhanced_nodes": oracle.q(oracle.enh_nodes_select()),
         "kg_enhanced_edges": oracle.q(oracle.enh_edges_select()),
         "mm_decode": oracle.q(oracle.mm_decode_select()),
@@ -194,4 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracle_extra.quality_sql(),
         "text_langid": oracle_extra.langid_sql(),
         "text_fingerprints": oracle_extra.fingerprints_sql(),
+        "text_tfidf": oracle_extra.tfidf_sql(),
+        "curation_sample": oracle_extra.stratified_sample_sql(),
+        "curation_pack": oracle_extra.pack_sequences_sql(),
     }

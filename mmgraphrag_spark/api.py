@@ -209,6 +209,22 @@ def pagerank(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) ->
     return graphalgo.pagerank(n, e)
 
 
+def triangles(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Per-node triangle counts over the fused graph (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.triangle_counts(n, e)
+
+
+def neighbor_sim(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Neighborhood-Jaccard entity pairs over the fused graph (graphalgo.py)."""
+    from .operators import graphalgo
+
+    _, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.neighbor_similarity(e)
+
+
 def enhanced_graph(
     spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:

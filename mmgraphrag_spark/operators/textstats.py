@@ -120,3 +120,41 @@ def fingerprints(docs: DataFrame, window: int = 5) -> DataFrame:
             )
         ).alias("winnow"),
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf_ppm, rnk): each document's top-k keyword
+    terms by TF-IDF — the raw-ratio IDF variant idf = (N·10^6) div df, kept
+    in exact integer arithmetic so the DuckDB twin hashes bit-identically
+    (log-IDF would put a float in the RANKING, where a one-ulp divergence
+    flips which terms survive the top-k cut, not just the reported score).
+
+    Shape at scale: tokenize is a generator (no shuffle), TF one groupBy on
+    (doc_id, term) with map-side combine, DF one groupBy on term, the corpus
+    size a 1-row broadcast; the final top-k window partitions by doc_id —
+    millions of tiny independent partitions. Ties break by term asc.
+
+    Plan note: the corpus-size crossJoin plans as a
+    BroadcastNestedLoopJoin with a SINGLE-ROW build side — the scalar-
+    subquery pattern (O(n), not all-pairs); the repo's no-BNLJ plan asserts
+    target unbounded builds, which this is not.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.expr("tf * ((n_docs * 1000000L) div df)").alias("tfidf_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_ppm"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

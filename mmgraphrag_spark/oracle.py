@@ -1179,6 +1179,62 @@ def pagerank_select(
     return s + f"\nSELECT name AS entity_name, rank AS rank_scaled FROM pr_r{iters}"
 
 
+def triangles_select() -> str:
+    """Twin of operators/graphalgo.triangle_counts: degree-orientation
+    triangle enumeration (orient low->high by (deg, name), wedge self-join
+    on the center, closure against the symmetric edge set), each triangle
+    charged to all three corners. All-integer => exact hash."""
+    return """
+, tr_edges AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+), tr_deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM tr_edges GROUP BY u
+), tr_or AS MATERIALIZED (
+  SELECT e.u, e.v
+  FROM tr_edges e JOIN tr_deg a ON e.u = a.u JOIN tr_deg b ON e.v = b.u
+  WHERE (a.deg < b.deg) OR (a.deg = b.deg AND e.u < e.v)
+), tr AS (
+  SELECT w1.u AS a, w1.v AS b, w2.v AS c
+  FROM tr_or w1
+  JOIN tr_or w2 ON w1.u = w2.u AND w1.v < w2.v
+  JOIN tr_edges s ON s.u = w1.v AND s.v = w2.v
+), tr_pn AS (
+  SELECT name, COUNT(*) AS t FROM (
+    SELECT a AS name FROM tr
+    UNION ALL SELECT b FROM tr
+    UNION ALL SELECT c FROM tr
+  ) GROUP BY name
+)
+SELECT n.entity_name, COALESCE(p.t, 0) AS triangles
+FROM fused_nodes n LEFT JOIN tr_pn p ON n.entity_name = p.name"""
+
+
+def neighbor_sim_select(threshold_pm: int = 200_000) -> str:
+    """Twin of operators/graphalgo.neighbor_similarity: wedge counting on
+    the shared-neighbor posting key, exact integer Jaccard of the open
+    neighborhoods."""
+    return f"""
+, ns_edges AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+), ns_deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM ns_edges GROUP BY u
+), ns_common AS (
+  SELECT x.v AS a, y.v AS b, COUNT(*) AS common
+  FROM ns_edges x JOIN ns_edges y ON x.u = y.u AND x.v < y.v
+  GROUP BY x.v, y.v
+)
+SELECT c.a, c.b, c.common,
+       c.common * 1000000 // (da.deg + db.deg - c.common) AS jaccard_pm
+FROM ns_common c
+JOIN ns_deg da ON c.a = da.u
+JOIN ns_deg db ON c.b = db.u
+WHERE c.common * 1000000 // (da.deg + db.deg - c.common) >= {threshold_pm}"""
+
+
 def enh_nodes_select() -> str:
     return "SELECT entity_name, entity_type, description, source_id FROM enh_nodes"
 

@@ -421,3 +421,75 @@ SELECT i.a, i.b,
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter * 1000000 // (sa.n + sb.n - i.inter) >= {t}
 """
+
+
+def tfidf_sql(k: int = 5) -> str:
+    """Twin of textstats.tfidf_topk: raw-ratio integer IDF, top-k per doc by
+    (tfidf_ppm desc, term asc)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(w) AS u(t)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, tfidf_ppm, rnk FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * ((n.n_docs * 1000000) // d.df) AS tfidf_ppm,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * ((n.n_docs * 1000000) // d.df) DESC, t.term ASC
+         ) AS rnk
+  FROM tf t JOIN dfq d USING (term), n
+) WHERE rnk <= {k}
+"""
+
+
+# the multiplicative doc_id hash of operators/curation.py, DuckDB spelling
+# (% on non-negative operands == Spark's pmod here)
+_CURATION_HASH = "((doc_id % 2147483647) * 2654435761) % 4294967296 % 1000000"
+
+
+def stratified_sample_sql(
+    rates_ppm: dict[str, int] | None = None, default_ppm: int = 125_000
+) -> str:
+    """Twin of curation.stratified_sample: hash-bucket membership per
+    language stratum."""
+    from .operators.curation import DEFAULT_RATES_PPM
+
+    rates = DEFAULT_RATES_PPM if rates_ppm is None else rates_ppm
+    case = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {ppm}" for lang, ppm in sorted(rates.items())
+    ) + f" ELSE {default_ppm} END"
+    return f"""
+SELECT doc_id, lang, source, bucket_ppm, rate_ppm FROM (
+  SELECT doc_id, lang, source,
+         CAST({_CURATION_HASH} AS BIGINT) AS bucket_ppm,
+         CAST({case} AS BIGINT) AS rate_ppm
+  FROM documents
+) WHERE bucket_ppm < rate_ppm
+"""
+
+
+def pack_sequences_sql(budget: int = 256, shards: int = 8) -> str:
+    """Twin of curation.pack_sequences: per-shard running token sum in
+    doc_id order, cut into fixed-budget sequences."""
+    return f"""
+SELECT doc_id, shard, n_tokens,
+       start // {budget} AS seq_id,
+       start % {budget} AS offset_tokens
+FROM (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM (
+    SELECT doc_id, doc_id % {shards} AS shard,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+  )
+)
+"""

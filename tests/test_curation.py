@@ -1,0 +1,99 @@
+"""Curation operators: stratified hash sampling + sequence packing + TF-IDF
+keywords — engine vs pure-Python twins and the operators' contracts."""
+
+from __future__ import annotations
+
+from conftest import SF_TINY
+
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark.operators import curation, dedup, textstats
+
+
+def _docs(spark):
+    return curation.docs_table(spark, SF_TINY)
+
+
+def test_stratified_sample_matches_python_twin(spark):
+    rows = _docs(spark).select("doc_id", "lang").collect()
+
+    def bucket(doc_id: int) -> int:
+        return (doc_id % 2147483647) * 2654435761 % 4294967296 % 1000000
+
+    rates = dict(curation.DEFAULT_RATES_PPM)
+    want = {
+        r.doc_id
+        for r in rows
+        if bucket(r.doc_id) < rates.get(r.lang, curation.DEFAULT_RATE_PPM)
+    }
+    got_rows = curation.stratified_sample(_docs(spark)).collect()
+    assert {r.doc_id for r in got_rows} == want
+    # emitted bucket/rate columns are the decision inputs, re-checkable
+    for r in got_rows:
+        assert r.bucket_ppm == bucket(r.doc_id)
+        assert r.bucket_ppm < r.rate_ppm
+
+
+def test_stratified_sample_monotone_in_rate(spark):
+    """Raising a stratum's rate strictly grows (superset) its sample — the
+    property that makes incremental re-curation cheap (new rate = old docs
+    + a delta, never a reshuffled set)."""
+    lo = {r.doc_id for r in curation.stratified_sample(
+        _docs(spark), {"en": 200_000}, default_ppm=100_000).collect()}
+    hi = {r.doc_id for r in curation.stratified_sample(
+        _docs(spark), {"en": 600_000}, default_ppm=100_000).collect()}
+    assert lo <= hi and len(hi) > len(lo)
+
+
+def test_pack_sequences_matches_python_twin_and_contract(spark):
+    budget, shards = 256, 8
+    got = curation.pack_sequences(_docs(spark), budget, shards).collect()
+    toks = {
+        r.doc_id: r.n
+        for r in _docs(spark)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    # python twin: per-shard running sum in doc_id order
+    start = {}
+    run = {s: 0 for s in range(shards)}
+    for doc_id in sorted(toks):
+        s = doc_id % shards
+        start[doc_id] = run[s]
+        run[s] += toks[doc_id]
+    for r in got:
+        assert r.shard == r.doc_id % shards
+        assert r.n_tokens == toks[r.doc_id]
+        assert r.seq_id == start[r.doc_id] // budget
+        assert r.offset_tokens == start[r.doc_id] % budget
+        assert 0 <= r.offset_tokens < budget
+    assert len(got) == len(toks)
+
+
+def test_tfidf_topk_matches_python_twin(spark):
+    docs = dedup.docs_table(spark, SF_TINY).limit(40)
+    rows = docs.collect()
+    n_docs = len(rows)
+    tf: dict[tuple[int, str], int] = {}
+    dfq: dict[str, int] = {}
+    for r in rows:
+        seen = {}
+        for t in r.text.split(" "):
+            seen[t] = seen.get(t, 0) + 1
+        for t, c in seen.items():
+            tf[(r.doc_id, t)] = c
+            dfq[t] = dfq.get(t, 0) + 1
+    k = 5
+    want = set()
+    by_doc: dict[int, list] = {}
+    for (d, t), c in tf.items():
+        score = c * ((n_docs * 1_000_000) // dfq[t])
+        by_doc.setdefault(d, []).append((-score, t, c))
+    for d, terms in by_doc.items():
+        for rnk, (negs, t, c) in enumerate(sorted(terms)[:k], start=1):
+            want.add((d, t, c, dfq[t], -negs, rnk))
+    got = {
+        (r.doc_id, r.term, r.tf, r.df, r.tfidf_ppm, r.rnk)
+        for r in textstats.tfidf_topk(docs, k).collect()
+    }
+    assert got == want

@@ -62,3 +62,48 @@ def test_pagerank_fused_graph_mass_and_determinism(spark):
     # integer contract => bit-identical across a re-run (fresh plan)
     again = {r.entity_name: r.rank_scaled for r in api.pagerank(spark, SF_TINY).collect()}
     assert {r.entity_name: r.rank_scaled for r in rows} == again
+
+
+def test_triangle_counts_known_graph(spark):
+    # diamond: a-b, a-c, b-c, b-d, c-d  (two triangles: abc, bcd) + isolate
+    names = ["a", "b", "c", "d", "iso"]
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.entity_name: r.triangles for r in graphalgo.triangle_counts(ndf, edf).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1, "iso": 0}
+
+
+def test_triangle_counts_double_stored_pair_harmless(spark):
+    # the same undirected edge stored in both directions must not create
+    # phantom triangles (symmetric_edges dedups)
+    ndf = spark.createDataFrame([("a",), ("b",), ("c",)], "entity_name string")
+    edf = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    got = {r.entity_name: r.triangles for r in graphalgo.triangle_counts(ndf, edf).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_neighbor_similarity_known_graph(spark):
+    # l1 and l2 both attach to hubs h1 and h2 -> N(l1) == N(l2) == {h1, h2}
+    # (jaccard 1.0); h1 vs h2 share {l1, l2} out of deg 3+3-2 = 4 -> 0.5
+    edges = [
+        ("h1", "l1"), ("h1", "l2"), ("h2", "l1"), ("h2", "l2"),
+        ("h1", "x"), ("h2", "y"),
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.a, r.b): (r.common, r.jaccard_pm)
+        for r in graphalgo.neighbor_similarity(edf, threshold_pm=0).collect()
+    }
+    assert got[("l1", "l2")] == (2, 1_000_000)
+    assert got[("h1", "h2")] == (2, 500_000)
+    # x and y share no neighbor pair beyond the hubs: (x, y) never wedges
+    assert ("x", "y") not in got
+    # threshold filters: at 0.6 only the perfect pair survives
+    kept = {
+        (r.a, r.b)
+        for r in graphalgo.neighbor_similarity(edf, threshold_pm=600_000).collect()
+    }
+    assert kept == {("l1", "l2")}
