@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full value-hash oracles
         "kg_triangles": api.triangles,
         "kg_neighbor_sim": api.neighbor_sim,
+        # min-label components of the fused graph (iterative engine side;
+        # recursive min-reachability CTE on the oracle side — exact hash)
+        "kg_components": api.components,
         "kg_enhanced_nodes": api.enhanced_nodes,
         "kg_enhanced_edges": api.enhanced_edges,
         # S3 MinerU ingestion: serializer ∘ parser round trip over the
@@ -180,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": oracle.q(oracle.pagerank_select()),
         "kg_triangles": oracle.q(oracle.triangles_select()),
         "kg_neighbor_sim": oracle.q(oracle.neighbor_sim_select()),
+        "kg_components": oracle.q(oracle.components_select()),
         "kg_enhanced_nodes": oracle.q(oracle.enh_nodes_select()),
         "kg_enhanced_edges": oracle.q(oracle.enh_edges_select()),
         "mm_decode": oracle.q(oracle.mm_decode_select()),

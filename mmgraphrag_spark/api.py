@@ -225,6 +225,14 @@ def neighbor_sim(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
     return graphalgo.neighbor_similarity(e)
 
 
+def components(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Connected components of the fused graph (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.connected_components(n, e)
+
+
 def enhanced_graph(
     spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:

@@ -190,3 +190,61 @@ def neighbor_similarity(edges: DataFrame, threshold_pm: int = 200_000) -> DataFr
         )
         .filter(F.col("jaccard_pm") >= threshold_pm)
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(entity_name, component): connected components of the fused graph,
+    labeled by each component's lexicographically-minimal entity name.
+    Completes the KG analytics suite (pagerank/triangles/neighbor-sim):
+    component membership is the subgraph unit for per-topic export,
+    query-context scoping, and detecting fragmentation the fusion stage
+    should have merged.
+
+    Same physical strategy as dedup.duplicate_clusters (there: long doc
+    ids; here: string names — min-label works on any ordered key): per
+    round one equi-join + one map-side-combined min aggregation, plus a
+    pointer-jumping self-join that makes convergence O(log diameter)
+    rounds; labels localCheckpointed per round so the plan stays flat.
+    The driver twin is a recursive min-reachability CTE
+    (`oracle.components_select`) — exact value hash.
+    """
+    sym = symmetric_edges(edges).localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col("entity_name").alias("name"), F.col("entity_name").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("name", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "name")
+        )
+        stepped = labels.join(nbr, "name", "left").select(
+            "name",
+            F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+        jump = stepped.select(
+            F.col("name").alias("label"), F.col("label").alias("label2")
+        )
+        new = (
+            stepped.join(jump, "label", "left")
+            .select(
+                "name",
+                F.least("label", F.coalesce("label2", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "name")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("name").alias("entity_name"), F.col("label").alias("component")
+    )

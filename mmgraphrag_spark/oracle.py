@@ -1211,6 +1211,27 @@ SELECT n.entity_name, COALESCE(p.t, 0) AS triangles
 FROM fused_nodes n LEFT JOIN tr_pn p ON n.entity_name = p.name"""
 
 
+def components_select() -> str:
+    """Twin of operators/graphalgo.connected_components: min reachable name
+    per node via a recursive label-spread CTE (cte_prefix opens WITH
+    RECURSIVE, so recursion composes with the pipeline chain). UNION set
+    semantics bound the recursion at |V|·|component| rows — fine at oracle
+    scale; the engine side is the O(log diameter) pointer-jumping fixpoint."""
+    return """
+, cc_edges AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+), cc_reach AS (
+  SELECT entity_name AS name, entity_name AS lbl FROM fused_nodes
+  UNION
+  SELECT e.v AS name, r.lbl
+  FROM cc_reach r JOIN cc_edges e ON e.u = r.name
+)
+SELECT name AS entity_name, MIN(lbl) AS component
+FROM cc_reach GROUP BY name"""
+
+
 def neighbor_sim_select(threshold_pm: int = 200_000) -> str:
     """Twin of operators/graphalgo.neighbor_similarity: wedge counting on
     the shared-neighbor posting key, exact integer Jaccard of the open

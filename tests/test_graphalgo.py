@@ -107,3 +107,30 @@ def test_neighbor_similarity_known_graph(spark):
         for r in graphalgo.neighbor_similarity(edf, threshold_pm=600_000).collect()
     }
     assert kept == {("l1", "l2")}
+
+
+def test_connected_components_known_graph(spark):
+    # path a-b-c (component 'a'), pair x-y (component 'x'), isolate z
+    names = ["a", "b", "c", "x", "y", "z"]
+    edges = [("b", "a"), ("b", "c"), ("y", "x")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: r.component
+        for r in graphalgo.connected_components(ndf, edf).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_connected_components_long_path_converges(spark):
+    # 33-node path: diameter 32 >> max_iter 20 rounds would fail a plain
+    # fixpoint; pointer jumping converges in O(log n) rounds
+    names = [f"n{str(i).zfill(2)}" for i in range(33)]
+    edges = [(names[i], names[i + 1]) for i in range(32)]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: r.component
+        for r in graphalgo.connected_components(ndf, edf, max_iter=8).collect()
+    }
+    assert set(got.values()) == {"n00"} and len(got) == 33

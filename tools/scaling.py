@@ -200,7 +200,7 @@ def main() -> None:
         f"{round((cpu_sum(results[(lo, hi)][1]) or 0) / max(cpu_sum(results[(lo, hi)][0]) or 1, 1), 2)}x |"
         for lo, hi in pairs
     )
-    md = f"""# BENCH/BASELINE — measured throughput & scaling ({ts}, round 3)
+    md = f"""# BENCH/BASELINE — measured throughput & scaling ({ts}, round 4)
 
 Same job (end-to-end checkpointed KG construction, bench.py) on identical
 input at two parallelism-level pairs — the sandbox stand-in for N vs 4N
@@ -208,12 +208,14 @@ executors (no real cluster available; method per driver instruction). Input =
 FIXTURES.md bench fixture: {n_docs} docs ({replicas}x sf0.1 with per-replica
 token suffixes; content-hash dedup cannot collapse replicas). Wall times are
 the min over {rounds} health-gated, level-alternating rounds (the host has
-multi-minute noisy-neighbor phases; see PLANS.md). The harness runs the
-stage DAG SERIALLY on this single host (measured: serial 67.2 s vs
-concurrent 83.8 s at 32 threads, equal at 8 — overlapping branches contend
-for the one memory bus; on a real multi-executor cluster branches use
-disjoint buses and Pipeline.run(parallel=True), the engine default, is the
-right schedule). Companion notes: BENCH/INVERSION.md (the round-2
+multi-minute noisy-neighbor phases; see PLANS.md). Each bench rep
+alternates the SERIAL and CONCURRENT stage-DAG schedules and the min is
+recorded with its schedule tagged in rep_probes ("parallel") — which
+schedule wins is regime-dependent on this single shared memory bus (round 3
+calm window: serial won at 32; this round-4 window: concurrent won at every
+level); on a real multi-executor cluster branches use disjoint buses and
+Pipeline.run(parallel=True), the engine default, is unambiguously the right
+schedule. Companion notes: BENCH/INVERSION.md (the round-2
 per-stage 16->32 "inversion" was concurrent-wall accounting),
 BENCH/SKEW.md (salted-aggregate crossover).
 
@@ -281,8 +283,9 @@ batches only).
    straggler).
 3. source scans spread to compute parallelism when the input is a single
    small file (50k-doc documents.parquet is one 5.8 MB scan split).
-4. stage DAG run serially in the local bench (see header note); the
-   concurrent schedule remains the engine default for real clusters.
+4. bench reps alternate the serial and concurrent stage-DAG schedules and
+   record the min (see header note); the concurrent schedule remains the
+   engine default for real clusters.
 5. bench warm-up now runs the full pipeline once untimed on a 1k-doc slice:
    JIT + Python-worker pool + parquet reader priming (a long-lived cluster
    pays these once at deploy, not per job). Cold-vs-warm on identical
