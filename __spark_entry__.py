@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min-label components of the fused graph (iterative engine side;
         # recursive min-reachability CTE on the oracle side — exact hash)
         "kg_components": api.components,
+        # personalized PageRank from the qctx seed set: query-proximity
+        # ranking (upgrades the reference's degree-only context ordering)
+        "qctx_ppr": api.qctx_ppr,
         "kg_enhanced_nodes": api.enhanced_nodes,
         "kg_enhanced_edges": api.enhanced_edges,
         # S3 MinerU ingestion: serializer ∘ parser round trip over the
@@ -184,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": oracle.q(oracle.triangles_select()),
         "kg_neighbor_sim": oracle.q(oracle.neighbor_sim_select()),
         "kg_components": oracle.q(oracle.components_select()),
+        "qctx_ppr": oracle.qctx_ppr_sql(),
         "kg_enhanced_nodes": oracle.q(oracle.enh_nodes_select()),
         "kg_enhanced_edges": oracle.q(oracle.enh_edges_select()),
         "mm_decode": oracle.q(oracle.mm_decode_select()),

@@ -233,6 +233,18 @@ def components(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) 
     return graphalgo.connected_components(n, e)
 
 
+def qctx_ppr(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Personalized PageRank from the query-context seed entities — the
+    query-proximity ranking that upgrades degree-only context ordering."""
+    from .operators import graphalgo
+
+    return graphalgo.personalized_pagerank(
+        nodes(spark, sf_dir, cfg),
+        edges(spark, sf_dir, cfg),
+        qctx_seeds(spark, sf_dir, cfg).select("entity_name"),
+    )
+
+
 def enhanced_graph(
     spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:

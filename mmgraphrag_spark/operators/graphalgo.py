@@ -248,3 +248,63 @@ def connected_components(
     return labels.select(
         F.col("name").alias("entity_name"), F.col("label").alias("component")
     )
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """(entity_name, rank_scaled): PageRank with the teleport restricted to
+    ``seeds`` (an entity_name relation) — rank mass measures proximity to
+    the query's seed entities, which upgrades the reference's degree-only
+    context ordering (query.py: contexts rank by degree, so a globally-hubby
+    but query-irrelevant entity outranks a locally-central one; PPR fixes
+    exactly that).
+
+    Same exact-integer recurrence as :func:`pagerank` with a seed-indicator
+    base: rank_0(v) = ``scale``·seed(v); rank_{i+1}(v) = (100-d)·scale
+    div 100 · seed(v) + (d · contrib_i(v)) div 100. Non-seed sinks leak
+    mass (standard PPR without dangling redistribution); the oracle twin
+    unrolls the identical recurrence. Scale shape identical to pagerank
+    (one equi-join + one combined agg per iteration, ReuseExchange on the
+    edge+degree relation); the seed flag is a broadcast-joined bit column.
+    """
+    sym = symmetric_edges(edges)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = sym.join(deg, "u")
+    flagged = nodes.select(F.col("entity_name").alias("name")).join(
+        F.broadcast(
+            seeds.select(F.col("entity_name").alias("name"), F.lit(1).alias("seed"))
+        ),
+        "name",
+        "left",
+    ).select("name", F.coalesce("seed", F.lit(0)).alias("seed"))
+    base = (100 - damping_pct) * scale // 100
+    ranks = flagged.select(
+        "name", "seed", (F.lit(scale).cast("long") * F.col("seed")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.select(F.col("name").alias("u"), "rank"), "u")
+            .select("v", F.expr("rank div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            ranks.join(contrib.withColumnRenamed("v", "name"), "name", "left")
+            .select(
+                "name",
+                "seed",
+                (
+                    F.lit(base).cast("long") * F.col("seed")
+                    + F.expr(f"({damping_pct} * coalesce(contrib, 0L)) div 100")
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("name").alias("entity_name"), F.col("rank").alias("rank_scaled")
+    )

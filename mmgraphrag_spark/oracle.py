@@ -1211,6 +1211,49 @@ SELECT n.entity_name, COALESCE(p.t, 0) AS triangles
 FROM fused_nodes n LEFT JOIN tr_pn p ON n.entity_name = p.name"""
 
 
+def qctx_ppr_sql(
+    cfg: PipelineConfig = DEFAULT,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> str:
+    """Twin of operators/graphalgo.personalized_pagerank seeded by the qctx
+    seed set: the pagerank recurrence with the teleport restricted to seeds
+    (seed-indicator base), unrolled as MATERIALIZED CTEs over the pipeline
+    twin's nodes/edges + the shared qctx seeds CTE."""
+    base = (100 - damping_pct) * scale // 100
+    s = cte_prefix(cfg) + "," + _qctx_ctes(cfg) + f""",
+ppr_edges AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges
+  UNION
+  SELECT dst AS u, src AS v FROM edges
+), ppr_deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM ppr_edges GROUP BY u
+), ppr_r0 AS MATERIALIZED (
+  SELECT n.entity_name AS name,
+         CASE WHEN s.entity_name IS NULL THEN 0 ELSE 1 END AS seed,
+         CAST({scale} AS BIGINT)
+           * CASE WHEN s.entity_name IS NULL THEN 0 ELSE 1 END AS rank
+  FROM nodes n LEFT JOIN seeds s ON n.entity_name = s.entity_name
+)"""
+    for i in range(iters):
+        s += f""",
+ppr_r{i + 1} AS MATERIALIZED (
+  SELECT n.name, n.seed,
+         CAST({base} AS BIGINT) * n.seed
+           + CAST(({damping_pct} * COALESCE(c.contrib, 0)) // 100
+                  AS BIGINT) AS rank
+  FROM ppr_r{i} n LEFT JOIN (
+    SELECT e.v AS name, SUM(r.rank // d.deg) AS contrib
+    FROM ppr_edges e
+    JOIN ppr_r{i} r ON e.u = r.name
+    JOIN ppr_deg d ON e.u = d.u
+    GROUP BY e.v
+  ) c ON n.name = c.name
+)"""
+    return s + f"\nSELECT name AS entity_name, rank AS rank_scaled FROM ppr_r{iters}"
+
+
 def components_select() -> str:
     """Twin of operators/graphalgo.connected_components: min reachable name
     per node via a recursive label-spread CTE (cte_prefix opens WITH

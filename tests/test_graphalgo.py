@@ -134,3 +134,47 @@ def test_connected_components_long_path_converges(spark):
         for r in graphalgo.connected_components(ndf, edf, max_iter=8).collect()
     }
     assert set(got.values()) == {"n00"} and len(got) == 33
+
+
+def _py_ppr(names, undirected_edges, seeds, iters=5, damping_pct=85,
+            scale=graphalgo.SCALE):
+    """Personalized variant of _py_pagerank: teleport only to seeds."""
+    adj: dict[str, set[str]] = {n: set() for n in names}
+    for a, b in undirected_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rank = {n: (scale if n in seeds else 0) for n in names}
+    base = (100 - damping_pct) * scale // 100
+    for _ in range(iters):
+        contrib = {n: 0 for n in names}
+        for u, vs in adj.items():
+            if u not in rank or not vs:
+                continue
+            share = rank[u] // len(vs)
+            for v in vs:
+                if v in contrib:
+                    contrib[v] += share
+        rank = {
+            n: (base if n in seeds else 0) + (damping_pct * contrib[n]) // 100
+            for n in names
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_twin_and_localizes(spark):
+    # two lobes joined by a bridge; seed in the left lobe
+    names = ["s", "a", "b", "bridge", "x", "y", "iso"]
+    edges = [("s", "a"), ("s", "b"), ("a", "b"), ("b", "bridge"),
+             ("bridge", "x"), ("x", "y")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([("s",)], "entity_name string")
+    got = {
+        r.entity_name: r.rank_scaled
+        for r in graphalgo.personalized_pagerank(ndf, edf, sdf).collect()
+    }
+    assert got == _py_ppr(names, edges, {"s"})
+    # mass concentrates near the seed: its own lobe outranks the far lobe
+    assert got["a"] > got["x"] and got["s"] > got["y"]
+    # unreachable node holds zero mass (teleport is seed-only)
+    assert got["iso"] == 0
