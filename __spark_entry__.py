@@ -4,6 +4,14 @@
 (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` carries the DuckDB
 twin (mmgraphrag_spark.oracle). Column names are aliased identically on both
 sides.
+
+ORDERING CONTRACT: the driver's correctness gate samples the FIRST 50
+entries of ``queries()``, so the dict is ordered least-recently-driver-
+verified first — every query that is new this round or has never had a
+driver CORRECTNESS row leads, followed by the core pipeline; the tail
+(entries 51+) holds only long-stable variants whose operator code is
+unchanged and whose green rows exist in earlier CORRECTNESS_r*.json
+artifacts (full-registry sweeps live in BENCH/ORACLE_SWEEP_*.md).
 """
 
 from __future__ import annotations
@@ -47,11 +55,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ---- never-driver-verified / new-this-round first (see module
+        # docstring's ordering contract) ------------------------------------
+        # per-doc top-k keywords: raw-ratio integer IDF so the top-k CUT is
+        # exact cross-engine (a float-log idf can flip ties in the ranking)
+        "text_tfidf": lambda s, d: textstats.tfidf_topk(dedup.docs_table(s, d)),
+        # curation: seedless hash-bucket stratified sampling + fixed-budget
+        # concat-and-chunk sequence packing (operators/curation.py)
+        "curation_sample": lambda s, d: curation.stratified_sample(
+            curation.docs_table(s, d)
+        ),
+        "curation_pack": lambda s, d: curation.pack_sequences(curation.docs_table(s, d)),
+        # (lang × source) two-dimensional strata, same rate-monotone hash
+        "curation_sample_2d": lambda s, d: curation.stratified_sample_2d(
+            curation.docs_table(s, d)
+        ),
+        # exact-count variant: top-k by hash bucket within each stratum
+        "curation_budget": lambda s, d: curation.stratified_budget(
+            curation.docs_table(s, d)
+        ),
+        # PPR-mass context ordering (cfg qctx_ranking="ppr"): the documented
+        # query-proximity upgrade over the reference's degree ordering
+        "qctx_edges_ppr": api.qctx_edges_ppr,
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(s, d),
+        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(s, d),
+        # k-means|| quantizer path: iterative fit, not SQL-expressible ->
+        # rows-only driver check; recall vs brute force is pytest-asserted
+        "ann_ivf_kmeans_topk": lambda s, d: similarity.ann_ivf_topk(
+            s, d, quantizer="kmeans"
+        ),
+        "text_token_stats": lambda s, d: textstats.token_stats(dedup.docs_table(s, d)),
+        "text_quality": lambda s, d: textstats.quality_scores(dedup.docs_table(s, d)),
+        "text_langid": lambda s, d: textstats.language_id(dedup.docs_table(s, d)),
+        "text_fingerprints": lambda s, d: textstats.fingerprints(dedup.docs_table(s, d)),
+        # changed this round: hub-center cap (engine + oracle in lockstep)
+        "kg_neighbor_sim": api.neighbor_sim,
+        # changed this round: loud non-convergence guard
+        "kg_components": api.components,
+        # ---- core pipeline -------------------------------------------------
         "kg_spans": api.spans,
         "kg_chunks": api.chunks,
         "kg_mentions": api.mentions,
-        "kg_mentions_gleaned": lambda s, d: api.mentions(s, d, GLEANED_CFG),
-        "kg_mentions_gleaned2": lambda s, d: api.mentions(s, d, GLEANED2_CFG),
         "kg_triples": api.triples,
         "kg_img_mentions": lambda s, d: api.img_mentions(s, d).select(
             "doc_id", "entity_name", "entity_type", "description", "source_id"
@@ -67,22 +111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       # (NumPy-oracle-verified in pytest)
         "kg_fused_nodes": api.fused_nodes,
         "kg_fused_edges": api.fused_edges,
-        # incremental rewiring path (fusion.fuse_graph_incremental): same
-        # result relation, so it shares kg_fused_*'s oracle SQL verbatim
-        "kg_fused_nodes_incr": api.fused_nodes_incremental,
-        "kg_fused_edges_incr": api.fused_edges_incremental,
         # beyond-reference KG analytics: fixed-point integer PageRank over
         # the fused graph — exactly reproducible, full value-hash oracle
         # (unrolled-iteration DuckDB CTEs)
         "kg_pagerank": api.pagerank,
-        # degree-orientation triangle enumeration + wedge-count neighborhood
-        # Jaccard (structural-duplicate candidates) — both exact-integer,
-        # full value-hash oracles
         "kg_triangles": api.triangles,
-        "kg_neighbor_sim": api.neighbor_sim,
-        # min-label components of the fused graph (iterative engine side;
-        # recursive min-reachability CTE on the oracle side — exact hash)
-        "kg_components": api.components,
         # personalized PageRank from the qctx seed set: query-proximity
         # ranking (upgrades the reference's degree-only context ordering)
         "qctx_ppr": api.qctx_ppr,
@@ -108,7 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pdf.spans_to_pdf(synth.flat_spans(s, d))
         ),
         "mm_decode": api.mm_decode,
-        "mm_frames": api.mm_frames,
         "media_chunk_match": api.media_chunk_match,
         "qctx_seeds": api.qctx_seeds,
         "qctx_edges": api.qctx_edges,
@@ -116,48 +148,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qctx_chunks": api.qctx_chunks,
         "qctx_top_media": api.qctx_top_media,
         "entity_vdb_topk": api.entity_vdb_topk,
-        "qctx_seeds_vdb": api.qctx_seeds_vdb,
-        # the final query deliverables: rendered context CSV blocks + the
-        # filled answer system prompt (reference query.py:263-311, 402-405)
-        "qctx_render": api.qctx_render,
-        "qctx_prompt": api.qctx_prompt,
         # the FULL deterministic prompt chain incl. multimodal fills
         # (reference query.py:414-470), image info derived distributedly
         "qctx_prompt_chain": lambda s, d: api.qctx_prompt_chain(s, d, CHAIN_CFG),
         # training-data pipeline: dedup / similarity / text analysis
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
-        "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
         "dup_clusters": lambda s, d: dedup.duplicate_clusters(dedup.docs_table(s, d)),
+        "dup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(dedup.docs_table(s, d)),
+        "dup_simhash": lambda s, d: dedup.simhash(dedup.docs_table(s, d)),
+        # ---- tail: long-stable variants, driver-green in earlier rounds
+        # (r1-r4 artifacts), operator code unchanged this round --------------
+        "kg_mentions_gleaned": lambda s, d: api.mentions(s, d, GLEANED_CFG),
+        "kg_mentions_gleaned2": lambda s, d: api.mentions(s, d, GLEANED2_CFG),
+        # incremental rewiring path (fusion.fuse_graph_incremental): same
+        # result relation, so it shares kg_fused_*'s oracle SQL verbatim
+        "kg_fused_nodes_incr": api.fused_nodes_incremental,
+        "kg_fused_edges_incr": api.fused_edges_incremental,
         # large-star/small-star components (O(log n) rounds on stringy
         # graphs): same relation, same oracle — a physical-strategy variant
         "dup_clusters_star": lambda s, d: dedup.duplicate_clusters(
             dedup.docs_table(s, d), method="star"
         ),
-        "dup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(dedup.docs_table(s, d)),
-        "dup_simhash": lambda s, d: dedup.simhash(dedup.docs_table(s, d)),
+        "dup_minhash": lambda s, d: dedup.minhash_near_duplicates(dedup.docs_table(s, d)),
         "dup_simhash_pairs": lambda s, d: dedup.simhash_near_duplicates(dedup.docs_table(s, d)),
         "dup_embedding": lambda s, d: dedup.embedding_near_duplicates(s, d),
         "ann_topk": lambda s, d: similarity.ann_bruteforce_topk(s, d),
-        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(s, d),
-        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(s, d),
-        # k-means|| quantizer path: iterative fit, not SQL-expressible ->
-        # rows-only driver check; recall vs brute force is pytest-asserted
-        "ann_ivf_kmeans_topk": lambda s, d: similarity.ann_ivf_topk(
-            s, d, quantizer="kmeans"
-        ),
-        "text_token_stats": lambda s, d: textstats.token_stats(dedup.docs_table(s, d)),
-        "text_quality": lambda s, d: textstats.quality_scores(dedup.docs_table(s, d)),
-        "text_langid": lambda s, d: textstats.language_id(dedup.docs_table(s, d)),
-        "text_fingerprints": lambda s, d: textstats.fingerprints(dedup.docs_table(s, d)),
-        # per-doc top-k keywords: raw-ratio integer IDF so the top-k CUT is
-        # exact cross-engine (a float-log idf can flip ties in the ranking)
-        "text_tfidf": lambda s, d: textstats.tfidf_topk(dedup.docs_table(s, d)),
-        # curation: seedless hash-bucket stratified sampling + fixed-budget
-        # concat-and-chunk sequence packing (operators/curation.py)
-        "curation_sample": lambda s, d: curation.stratified_sample(
-            curation.docs_table(s, d)
-        ),
-        "curation_pack": lambda s, d: curation.pack_sequences(curation.docs_table(s, d)),
+        "mm_frames": api.mm_frames,
+        "qctx_seeds_vdb": api.qctx_seeds_vdb,
+        # the final query deliverables: rendered context CSV blocks + the
+        # filled answer system prompt (reference query.py:263-311, 402-405)
+        "qctx_render": api.qctx_render,
+        "qctx_prompt": api.qctx_prompt,
     }
 
 
@@ -188,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_sim": oracle.q(oracle.neighbor_sim_select()),
         "kg_components": oracle.q(oracle.components_select()),
         "qctx_ppr": oracle.qctx_ppr_sql(),
+        "qctx_edges_ppr": oracle.qctx_edges_ppr_sql(),
         "kg_enhanced_nodes": oracle.q(oracle.enh_nodes_select()),
         "kg_enhanced_edges": oracle.q(oracle.enh_edges_select()),
         "mm_decode": oracle.q(oracle.mm_decode_select()),
@@ -220,5 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": oracle_extra.fingerprints_sql(),
         "text_tfidf": oracle_extra.tfidf_sql(),
         "curation_sample": oracle_extra.stratified_sample_sql(),
+        "curation_sample_2d": oracle_extra.stratified_sample_2d_sql(),
+        "curation_budget": oracle_extra.stratified_budget_sql(),
         "curation_pack": oracle_extra.pack_sequences_sql(),
     }

@@ -7,6 +7,8 @@ composition. These are the driver-checked ``queries()`` bodies.
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import DEFAULT, PipelineConfig
@@ -316,10 +318,22 @@ def qctx_seeds(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) 
 
 
 def qctx_edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    return query_ctx.context_edges(
+    fn = (
+        query_ctx.context_edges_ppr
+        if cfg.qctx_ranking == "ppr"
+        else query_ctx.context_edges
+    )
+    return fn(
         nodes(spark, sf_dir, cfg), edges(spark, sf_dir, cfg),
         cfg.qctx_query, cfg.qctx_k, cfg.qctx_token_budget,
     )
+
+
+def qctx_edges_ppr(
+    spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
+) -> DataFrame:
+    """The qctx_ranking="ppr" path driven explicitly (driver query)."""
+    return qctx_edges(spark, sf_dir, replace(cfg, qctx_ranking="ppr"))
 
 
 def qctx_onehop(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:

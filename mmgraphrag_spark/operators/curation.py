@@ -54,6 +54,103 @@ def stratified_sample(
     )
 
 
+# default (lang × source) overrides: boost/suppress specific feeds inside a
+# language — the knob a mixture rebalance actually turns
+DEFAULT_RATES_2D_PPM: dict[tuple[str, str], int] = {
+    ("en", "src0"): 800_000,
+    ("en", "src1"): 100_000,
+    ("de", "src0"): 600_000,
+}
+
+
+def stratified_sample_2d(
+    docs: DataFrame,
+    rates_2d_ppm: dict[tuple[str, str], int] | None = None,
+    lang_rates_ppm: dict[str, int] | None = None,
+    default_ppm: int = DEFAULT_RATE_PPM,
+) -> DataFrame:
+    """(doc_id, lang, source, bucket_ppm, rate_ppm): two-dimensional
+    stratified sampling — rate resolution is (lang, source) override →
+    per-lang rate → default, all under the SAME doc-fixed hash bucket as
+    :func:`stratified_sample`.
+
+    The contract carries over unchanged: membership is a per-row integer
+    comparison (zero shuffles, zero RNG state), and because ``bucket_ppm``
+    is a pure function of doc_id, raising ANY stratum's rate strictly grows
+    that stratum's sample while every previously-kept doc stays kept
+    (rate-monotone) — so an incremental re-curation only ever ADDS docs.
+    The rate is one nested CASE over the small fixed stratum maps (codegen;
+    no join — stratum maps are config, not data).
+    """
+    rates2 = DEFAULT_RATES_2D_PPM if rates_2d_ppm is None else rates_2d_ppm
+    lang_rates = DEFAULT_RATES_PPM if lang_rates_ppm is None else lang_rates_ppm
+    rate = F.lit(default_ppm).cast("long")
+    for lang, ppm in sorted(lang_rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(ppm).cast("long")).otherwise(rate)
+    # (lang, source) overrides are most-specific — applied outermost
+    for (lang, source), ppm in sorted(rates2.items()):
+        rate = F.when(
+            (F.col("lang") == lang) & (F.col("source") == source),
+            F.lit(ppm).cast("long"),
+        ).otherwise(rate)
+    return (
+        docs.select(
+            "doc_id", "lang", "source",
+            F.expr(HASH_SQL).alias("bucket_ppm"),
+            rate.alias("rate_ppm"),
+        )
+        .filter(F.col("bucket_ppm") < F.col("rate_ppm"))
+    )
+
+
+# default fixed budgets (docs per language stratum) for the exact-count form
+DEFAULT_BUDGETS: dict[str, int] = {"en": 20, "de": 10}
+DEFAULT_BUDGET = 5
+
+
+def stratified_budget(
+    docs: DataFrame,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = DEFAULT_BUDGET,
+    prefilter_ppm: int | None = None,
+) -> DataFrame:
+    """(doc_id, lang, source, bucket_ppm, stratum_rank, budget_n): EXACTLY
+    min(budget, |stratum|) docs per language stratum — the fixed-budget form
+    of stratified sampling ("give me 1M docs per language", not "x%").
+
+    Selection is top-k by (bucket_ppm, doc_id) within the stratum: the same
+    doc-fixed hash as :func:`stratified_sample`, so the choice is
+    deterministic across runs and engines, and BUDGET-MONOTONE — a doc
+    admitted at budget B is still admitted at any B' > B, because its rank
+    within the stratum never changes. Rank = one row_number window per
+    stratum (one shuffle on lang).
+
+    At 10^12-doc scale a whole-stratum sort is the wrong plan; pass
+    ``prefilter_ppm`` to bound the window input with the zero-shuffle hash
+    filter first (exact whenever >= budget docs survive it — pick e.g.
+    10 × budget/|stratum| ppm). The default (None) ranks the full stratum.
+    """
+    bud = DEFAULT_BUDGETS if budgets is None else budgets
+    budget_col = F.lit(default_budget).cast("long")
+    for lang, b in sorted(bud.items()):
+        budget_col = F.when(F.col("lang") == lang, F.lit(b).cast("long")).otherwise(
+            budget_col
+        )
+    base = docs.select(
+        "doc_id", "lang", "source",
+        F.expr(HASH_SQL).alias("bucket_ppm"),
+        budget_col.alias("budget_n"),
+    )
+    if prefilter_ppm is not None:
+        base = base.filter(F.col("bucket_ppm") < F.lit(prefilter_ppm))
+    w = Window.partitionBy("lang").orderBy("bucket_ppm", "doc_id")
+    return (
+        base.withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("stratum_rank") <= F.col("budget_n"))
+        .select("doc_id", "lang", "source", "bucket_ppm", "stratum_rank", "budget_n")
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = 256, shards: int = 8) -> DataFrame:
     """(doc_id, shard, n_tokens, seq_id, offset_tokens): concat-and-chunk
     sequence packing — within each shard, documents concatenate in doc_id

@@ -154,7 +154,9 @@ def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def neighbor_similarity(edges: DataFrame, threshold_pm: int = 200_000) -> DataFrame:
+def neighbor_similarity(
+    edges: DataFrame, threshold_pm: int = 200_000, max_center_deg: int = 10_000
+) -> DataFrame:
     """(a, b, common, jaccard_pm): entity pairs whose OPEN neighborhoods in
     the fused graph overlap with Jaccard >= threshold — structural-duplicate
     / link-prediction candidates that text similarity misses (two names for
@@ -165,16 +167,28 @@ def neighbor_similarity(edges: DataFrame, threshold_pm: int = 200_000) -> DataFr
     a pair is materialized ONLY if it shares >= 1 neighbor — never all
     pairs. One self-equi-join on the shared neighbor + one count aggregate +
     degree lookups; Jaccard in exact 10^6-scaled integers, so the DuckDB
-    twin hashes exactly. At 100 TB the wedge join's hub fan-out is the cost
-    driver; cap it by pre-filtering centers with deg > max_df exactly as the
-    n-gram operator does (documented knob, default off so the relation stays
-    the textbook one).
+    twin hashes exactly.
+
+    ``max_center_deg`` is the hub defense (same contract as
+    ``dedup.ngram_jaccard_pairs``'s ``max_df`` stop-shingle cap): a wedge
+    CENTER of degree d emits d*(d-1)/2 pair rows, so one 10^6-degree hub —
+    exactly the paper-title-entity skew SURVEY §4.1 calls out — would emit
+    ~10^12 rows from a single key. Centers with deg > max_center_deg are
+    dropped BEFORE the self-join, bounding wedge output at
+    O(|E| * max_center_deg) total and cap² per key. `common` may then
+    undercount for pairs whose only shared neighbors are hubs (a hub is weak
+    similarity evidence anyway — cf. Adamic/Adar down-weighting); the
+    Jaccard DENOMINATOR always uses the full exact degrees, mirroring the
+    n-gram operator's full-union-sizes rule. The DuckDB twin applies the
+    identical cap, so parity is bit-exact at any setting.
     """
     sym = symmetric_edges(edges)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") <= F.lit(max_center_deg)).select("u")
+    posted = sym.join(centers, "u", "left_semi")
     wedges = (
-        sym.alias("x")
-        .join(sym.alias("y"), F.col("x.u") == F.col("y.u"))
+        posted.alias("x")
+        .join(posted.alias("y"), F.col("x.u") == F.col("y.u"))
         .filter(F.col("x.v") < F.col("y.v"))
         .select(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
     )
@@ -209,11 +223,18 @@ def connected_components(
     rounds; labels localCheckpointed per round so the plan stays flat.
     The driver twin is a recursive min-reachability CTE
     (`oracle.components_select`) — exact value hash.
+
+    Raises RuntimeError if the fixpoint does not converge within
+    ``max_iter`` rounds (pointer jumping needs diameter > ~2^max_iter to
+    hit this): unconverged labels are WRONG labels, and failing loudly
+    keeps an oracle hash mismatch from ever stemming from a silent
+    non-convergence.
     """
     sym = symmetric_edges(edges).localCheckpoint(eager=True)
     labels = nodes.select(
         F.col("entity_name").alias("name"), F.col("entity_name").alias("label")
     ).localCheckpoint(eager=True)
+    changed = 1
     for _ in range(max_iter):
         nbr = (
             sym.join(labels.withColumnRenamed("name", "v"), "v")
@@ -245,6 +266,12 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — returning "
+            "unconverged labels would silently mislabel components"
+        )
     return labels.select(
         F.col("name").alias("entity_name"), F.col("label").alias("component")
     )

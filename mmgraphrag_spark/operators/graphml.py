@@ -29,8 +29,25 @@ HEADER = """<?xml version='1.0' encoding='utf-8'?>
 FOOTER = "  </graph>\n</graphml>\n"
 
 
-def export_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> int:
-    """Write nodes+edges as reference-shaped GraphML; returns element count."""
+def export_graphml(
+    nodes: DataFrame, edges: DataFrame, path: str, max_rows: int = 1_000_000
+) -> int:
+    """Write nodes+edges as reference-shaped GraphML; returns element count.
+
+    Single-file DRIVER-side serializer — intended for parity-diff exports at
+    reference scale (thousands of elements). It streams every row through the
+    driver via toLocalIterator, so it guards itself: above ``max_rows`` total
+    elements it raises and points at :func:`export_graphml_distributed`,
+    which renders XML executor-side and never moves a row to the driver.
+    """
+    total = nodes.count() + edges.count()
+    if total > max_rows:
+        raise ValueError(
+            f"export_graphml is a driver-side single-file writer; {total} "
+            f"elements exceeds max_rows={max_rows}. Use "
+            "export_graphml_distributed(nodes, edges, out_dir) for large "
+            "graphs (executor-side rendering, part-file output)."
+        )
     parts: list[str] = [HEADER]
     n = 0
     for r in nodes.orderBy("entity_name").toLocalIterator():

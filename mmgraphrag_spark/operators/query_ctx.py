@@ -119,6 +119,59 @@ def context_edges(
     )
 
 
+def context_edges_ppr(
+    nodes: DataFrame, edges: DataFrame, query: str,
+    k: int = 5, token_budget: int = 4000,
+) -> DataFrame:
+    """PPR-ordered variant of :func:`context_edges` (cfg-gated upgrade, see
+    config.qctx_ranking): identical seed set, one-hop candidate edges and
+    running token budget, but edge_rank = personalized-PageRank mass
+    ppr(src)+ppr(dst) instead of degree sum. Degree ordering (the
+    reference's semantics, query.py) lets a globally-hubby but
+    query-irrelevant entity outrank a locally-central one; PPR mass
+    concentrates on entities reachable from the query's seeds, so the token
+    budget is spent on query-proximate evidence. Exact-integer ranks
+    (graphalgo.personalized_pagerank) keep the DuckDB twin hash-exact."""
+    from .graphalgo import personalized_pagerank
+
+    seeds = seed_entities(nodes, edges, query, k).select("entity_name")
+    ppr = personalized_pagerank(nodes, edges, seeds)
+    touching = edges.join(
+        F.broadcast(seeds),
+        (edges["src"] == seeds["entity_name"]) | (edges["dst"] == seeds["entity_name"]),
+        "left_semi",
+    )
+    ranked = (
+        touching.join(
+            ppr.select(F.col("entity_name").alias("src"),
+                       F.col("rank_scaled").alias("ps")), "src"
+        )
+        .join(
+            ppr.select(F.col("entity_name").alias("dst"),
+                       F.col("rank_scaled").alias("pd")), "dst"
+        )
+        .withColumn("edge_rank", (F.col("ps") + F.col("pd")).cast("long"))
+    )
+    # bounded candidate set (seed one-hop) — see seed_entities on why the
+    # unpartitioned window is safe here
+    w = Window.orderBy(
+        F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("dst")
+    )
+    return (
+        ranked.withColumn(
+            "running_tokens",
+            F.sum(F.length("description")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("running_tokens") <= token_budget)
+        .select(
+            "src", "dst", "weight", "description", "edge_rank",
+            F.col("running_tokens").cast("long").alias("running_tokens"),
+        )
+    )
+
+
 def context_chunks(
     nodes: DataFrame, edges: DataFrame, chunks: DataFrame, query: str,
     k: int = 5, token_budget: int = 400,

@@ -1211,18 +1211,15 @@ SELECT n.entity_name, COALESCE(p.t, 0) AS triangles
 FROM fused_nodes n LEFT JOIN tr_pn p ON n.entity_name = p.name"""
 
 
-def qctx_ppr_sql(
-    cfg: PipelineConfig = DEFAULT,
-    iters: int = 5,
-    damping_pct: int = 85,
-    scale: int = 1_000_000_000,
+def _ppr_chain(
+    iters: int = 5, damping_pct: int = 85, scale: int = 1_000_000_000
 ) -> str:
-    """Twin of operators/graphalgo.personalized_pagerank seeded by the qctx
-    seed set: the pagerank recurrence with the teleport restricted to seeds
-    (seed-indicator base), unrolled as MATERIALIZED CTEs over the pipeline
-    twin's nodes/edges + the shared qctx seeds CTE."""
+    """The unrolled personalized-PageRank CTE chain (seed-indicator base,
+    exact-integer recurrence) over the pipeline twin's nodes/edges and the
+    shared qctx ``seeds`` CTE; the final relation is ``ppr_r{iters}``
+    (name, seed, rank). Shared by qctx_ppr_sql and qctx_edges_ppr_sql."""
     base = (100 - damping_pct) * scale // 100
-    s = cte_prefix(cfg) + "," + _qctx_ctes(cfg) + f""",
+    s = f""",
 ppr_edges AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM edges
   UNION
@@ -1251,7 +1248,51 @@ ppr_r{i + 1} AS MATERIALIZED (
     GROUP BY e.v
   ) c ON n.name = c.name
 )"""
-    return s + f"\nSELECT name AS entity_name, rank AS rank_scaled FROM ppr_r{iters}"
+    return s
+
+
+def qctx_ppr_sql(
+    cfg: PipelineConfig = DEFAULT,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> str:
+    """Twin of operators/graphalgo.personalized_pagerank seeded by the qctx
+    seed set: the pagerank recurrence with the teleport restricted to seeds
+    (seed-indicator base), unrolled as MATERIALIZED CTEs over the pipeline
+    twin's nodes/edges + the shared qctx seeds CTE."""
+    return (
+        cte_prefix(cfg) + "," + _qctx_ctes(cfg)
+        + _ppr_chain(iters, damping_pct, scale)
+        + f"\nSELECT name AS entity_name, rank AS rank_scaled FROM ppr_r{iters}"
+    )
+
+
+def qctx_edges_ppr_sql(cfg: PipelineConfig = DEFAULT, iters: int = 5) -> str:
+    """Twin of operators/query_ctx.context_edges_ppr: the qctx_edges ranking
+    with edge_rank = ppr(src) + ppr(dst) from the unrolled PPR chain instead
+    of the degree sum."""
+    return (
+        cte_prefix(cfg) + "," + _qctx_ctes(cfg) + _ppr_chain(iters) + f""",
+ppr_ranked AS (
+  SELECT t.src, t.dst, t.weight, t.description,
+         CAST(ps.rank + pd.rank AS BIGINT) AS edge_rank
+  FROM touching t
+  JOIN ppr_r{iters} ps ON ps.name = t.src
+  JOIN ppr_r{iters} pd ON pd.name = t.dst
+),
+ppr_runn AS (
+  SELECT src, dst, weight, description, edge_rank,
+         sum(length(description)) OVER (
+           ORDER BY edge_rank DESC, weight DESC, src ASC, dst ASC
+           ROWS UNBOUNDED PRECEDING) AS running_tokens
+  FROM ppr_ranked
+)
+SELECT src, dst, weight, description, edge_rank,
+       CAST(running_tokens AS BIGINT) AS running_tokens
+FROM ppr_runn WHERE running_tokens <= {cfg.qctx_token_budget}
+"""
+    )
 
 
 def components_select() -> str:
@@ -1275,10 +1316,14 @@ SELECT name AS entity_name, MIN(lbl) AS component
 FROM cc_reach GROUP BY name"""
 
 
-def neighbor_sim_select(threshold_pm: int = 200_000) -> str:
+def neighbor_sim_select(
+    threshold_pm: int = 200_000, max_center_deg: int = 10_000
+) -> str:
     """Twin of operators/graphalgo.neighbor_similarity: wedge counting on
     the shared-neighbor posting key, exact integer Jaccard of the open
-    neighborhoods."""
+    neighborhoods. Applies the identical hub-center cap (deg <=
+    max_center_deg before the wedge self-join; full degrees in the
+    denominator) so parity is bit-exact at any setting."""
     return f"""
 , ns_edges AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM fused_edges
@@ -1286,9 +1331,12 @@ def neighbor_sim_select(threshold_pm: int = 200_000) -> str:
   SELECT dst AS u, src AS v FROM fused_edges
 ), ns_deg AS MATERIALIZED (
   SELECT u, COUNT(*) AS deg FROM ns_edges GROUP BY u
+), ns_posted AS MATERIALIZED (
+  SELECT e.u, e.v FROM ns_edges e
+  JOIN ns_deg d ON e.u = d.u AND d.deg <= {max_center_deg}
 ), ns_common AS (
   SELECT x.v AS a, y.v AS b, COUNT(*) AS common
-  FROM ns_edges x JOIN ns_edges y ON x.u = y.u AND x.v < y.v
+  FROM ns_posted x JOIN ns_posted y ON x.u = y.u AND x.v < y.v
   GROUP BY x.v, y.v
 )
 SELECT c.a, c.b, c.common,

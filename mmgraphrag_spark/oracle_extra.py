@@ -473,6 +473,61 @@ SELECT doc_id, lang, source, bucket_ppm, rate_ppm FROM (
 """
 
 
+def stratified_sample_2d_sql(
+    rates_2d_ppm: dict[tuple[str, str], int] | None = None,
+    lang_rates_ppm: dict[str, int] | None = None,
+    default_ppm: int = 125_000,
+) -> str:
+    """Twin of curation.stratified_sample_2d: nested CASE — (lang, source)
+    override, then per-lang rate, then default — over the same hash bucket."""
+    from .operators.curation import DEFAULT_RATES_2D_PPM, DEFAULT_RATES_PPM
+
+    rates2 = DEFAULT_RATES_2D_PPM if rates_2d_ppm is None else rates_2d_ppm
+    lang_rates = DEFAULT_RATES_PPM if lang_rates_ppm is None else lang_rates_ppm
+    lang_case = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {ppm}" for lang, ppm in sorted(lang_rates.items())
+    ) + f" ELSE {default_ppm} END"
+    pair_case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' AND source = '{source}' THEN {ppm}"
+        for (lang, source), ppm in sorted(rates2.items())
+    ) + f" ELSE {lang_case} END"
+    return f"""
+SELECT doc_id, lang, source, bucket_ppm, rate_ppm FROM (
+  SELECT doc_id, lang, source,
+         CAST({_CURATION_HASH} AS BIGINT) AS bucket_ppm,
+         CAST({pair_case} AS BIGINT) AS rate_ppm
+  FROM documents
+) WHERE bucket_ppm < rate_ppm
+"""
+
+
+def stratified_budget_sql(
+    budgets: dict[str, int] | None = None, default_budget: int = 5
+) -> str:
+    """Twin of curation.stratified_budget: per-stratum row_number over
+    (bucket_ppm, doc_id), kept while rank <= budget."""
+    from .operators.curation import DEFAULT_BUDGETS
+
+    bud = DEFAULT_BUDGETS if budgets is None else budgets
+    case = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {b}" for lang, b in sorted(bud.items())
+    ) + f" ELSE {default_budget} END"
+    return f"""
+SELECT doc_id, lang, source, bucket_ppm, stratum_rank, budget_n FROM (
+  SELECT doc_id, lang, source, bucket_ppm, budget_n,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY bucket_ppm, doc_id) AS BIGINT)
+           AS stratum_rank
+  FROM (
+    SELECT doc_id, lang, source,
+           CAST({_CURATION_HASH} AS BIGINT) AS bucket_ppm,
+           CAST({case} AS BIGINT) AS budget_n
+    FROM documents
+  )
+) WHERE stratum_rank <= budget_n
+"""
+
+
 def pack_sequences_sql(budget: int = 256, shards: int = 8) -> str:
     """Twin of curation.pack_sequences: per-shard running token sum in
     doc_id order, cut into fixed-budget sequences."""

@@ -168,7 +168,18 @@ class Pipeline:
         """
         (df.write.mode("overwrite").format(self.checkpoint_format)
          .save(self._path(table)))
-        rows = self._footer_rows(table) or [0]
+        rows = self._footer_rows(table)
+        if rows is None:
+            # remote work_dir (hdfs://, s3a://, Iceberg swap): no local
+            # footers — mirror _nrows' metadata-only Spark count rather than
+            # silently recording 0 (a zero row count here would both corrupt
+            # the metrics table and defeat dense-vs-sparse fused-graph
+            # routing downstream); partition granularity is lost, the total
+            # is not
+            rows = [
+                self.spark.read.format(self.checkpoint_format)
+                .load(self._path(table)).count()
+            ]
         per_part = [(i, n, table, self.run_id) for i, n in enumerate(rows)]
         self._metrics_buf.extend(per_part)
         return sum(n for _, n, _, _ in per_part)

@@ -20,12 +20,15 @@ implements the well-formed subset directly on the COS object syntax:
   the active font is tracked across ``Tf`` operators — matching what the
   reference gets from PyMuPDF on the common case
   (pdf_preprocessing.py:313-399). A Type0 font WITHOUT a /ToUnicode CMap
-  falls back to inverting the embedded subset TrueType's own ``cmap``
-  table (/DescendantFonts -> /FontDescriptor -> /FontFile2; formats
-  4/6/12; composed with /CIDToGIDMap) — what font-aware readers do
-  natively. Only a Type0 font with neither (e.g. a CFF /FontFile3) remains
-  the swap point: its show strings are dropped loudly (empty, never
-  garbled);
+  falls back to inverting the embedded font program itself: a subset
+  TrueType's own ``cmap`` table (/FontFile2; formats 4/6/12; composed
+  with /CIDToGIDMap), or a CFF's charset glyph names (/FontFile3 /Type1C
+  or OpenType-wrapped; standard strings + String INDEX, names resolved
+  via an AGL subset / uniXXXX / accent-suffix rules) — what font-aware
+  readers do natively. Only a genuinely unmappable font (CID-keyed CFF
+  with no /ToUnicode — its charset maps to registry CIDs, not names — or
+  no embedded program at all) remains the swap point: its show strings
+  are dropped loudly (empty, never garbled);
 * image XObjects (``/Subtype /Image``) are collected in object order and
   matched to ``Do`` draw operators sequentially; raw ``/DCTDecode`` stream
   bytes ARE the jpeg.
@@ -286,6 +289,267 @@ def _ttf_gid_to_unicode(ttf: bytes) -> dict[int, str]:
         return {}
 
 
+# ---- embedded-CFF charset fallback (Type0 /FontFile3 without /ToUnicode) ---
+
+_FONTFILE3_RE = re.compile(rb"/FontFile3\s+(\d+)\s+0\s+R")
+
+# CFF standard strings, SIDs 0-228 (Appendix A of the CFF spec; public
+# format data). SIDs 229-390 are expert/oldstyle forms with no unicode
+# mapping — genuinely unmappable, left absent. SIDs >= 391 index the
+# font's own String INDEX.
+_CFF_STD_STRINGS: tuple[str, ...] = tuple(
+    [".notdef"]
+    + ("space exclam quotedbl numbersign dollar percent ampersand quoteright"
+       " parenleft parenright asterisk plus comma hyphen period slash").split()
+    + "zero one two three four five six seven eight nine".split()
+    + "colon semicolon less equal greater question at".split()
+    + list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    + ("bracketleft backslash bracketright asciicircum underscore"
+       " quoteleft").split()
+    + list("abcdefghijklmnopqrstuvwxyz")
+    + "braceleft bar braceright asciitilde".split()
+    + ("exclamdown cent sterling fraction yen florin section currency"
+       " quotesingle quotedblleft guillemotleft guilsinglleft guilsinglright"
+       " fi fl endash dagger daggerdbl periodcentered paragraph bullet"
+       " quotesinglbase quotedblbase quotedblright guillemotright ellipsis"
+       " perthousand questiondown grave acute circumflex tilde macron breve"
+       " dotaccent dieresis ring cedilla hungarumlaut ogonek caron emdash"
+       " AE ordfeminine Lslash Oslash OE ordmasculine ae dotlessi lslash"
+       " oslash oe germandbls onesuperior logicalnot mu trademark Eth"
+       " onehalf plusminus Thorn onequarter divide brokenbar degree thorn"
+       " threequarters twosuperior registered minus eth multiply"
+       " threesuperior copyright").split()
+    + ("Aacute Acircumflex Adieresis Agrave Aring Atilde Ccedilla Eacute"
+       " Ecircumflex Edieresis Egrave Iacute Icircumflex Idieresis Igrave"
+       " Ntilde Oacute Ocircumflex Odieresis Ograve Otilde Scaron Uacute"
+       " Ucircumflex Udieresis Ugrave Yacute Ydieresis Zcaron aacute"
+       " acircumflex adieresis agrave aring atilde ccedilla eacute"
+       " ecircumflex edieresis egrave iacute icircumflex idieresis igrave"
+       " ntilde oacute ocircumflex odieresis ograve otilde scaron uacute"
+       " ucircumflex udieresis ugrave yacute ydieresis zcaron").split()
+)
+
+# Adobe-Glyph-List subset for the names above that are not resolvable by
+# rule (single char / uniXXXX / base+accent-suffix)
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quoteright": "’", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?", "at": "@",
+    "bracketleft": "[", "backslash": "\\", "bracketright": "]",
+    "asciicircum": "^", "underscore": "_", "quoteleft": "‘",
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "fraction": "⁄", "yen": "¥", "florin": "ƒ",
+    "section": "§", "currency": "¤", "quotesingle": "'",
+    "quotedblleft": "“", "guillemotleft": "«",
+    "guilsinglleft": "‹", "guilsinglright": "›", "fi": "ﬁ",
+    "fl": "ﬂ", "endash": "–", "dagger": "†",
+    "daggerdbl": "‡", "periodcentered": "·",
+    "paragraph": "¶", "bullet": "•",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "quotedblright": "”", "guillemotright": "»",
+    "ellipsis": "…", "perthousand": "‰",
+    "questiondown": "¿", "grave": "`", "acute": "´",
+    "circumflex": "ˆ", "tilde": "˜", "macron": "¯",
+    "breve": "˘", "dotaccent": "˙", "dieresis": "¨",
+    "ring": "˚", "cedilla": "¸", "hungarumlaut": "˝",
+    "ogonek": "˛", "caron": "ˇ", "emdash": "—",
+    "AE": "Æ", "ordfeminine": "ª", "Lslash": "Ł",
+    "Oslash": "Ø", "OE": "Œ", "ordmasculine": "º",
+    "ae": "æ", "dotlessi": "ı", "lslash": "ł",
+    "oslash": "ø", "oe": "œ", "germandbls": "ß",
+    "onesuperior": "¹", "logicalnot": "¬", "mu": "µ",
+    "trademark": "™", "Eth": "Ð", "onehalf": "½",
+    "plusminus": "±", "Thorn": "Þ", "onequarter": "¼",
+    "divide": "÷", "brokenbar": "¦", "degree": "°",
+    "thorn": "þ", "threequarters": "¾",
+    "twosuperior": "²", "registered": "®", "minus": "−",
+    "eth": "ð", "multiply": "×", "threesuperior": "³",
+    "copyright": "©",
+}
+
+_ACCENT_SUFFIX = {
+    "acute": "ACUTE", "grave": "GRAVE", "circumflex": "CIRCUMFLEX",
+    "dieresis": "DIAERESIS", "tilde": "TILDE", "ring": "RING ABOVE",
+    "cedilla": "CEDILLA", "caron": "CARON",
+}
+
+_UNI_NAME_RE = re.compile(r"u(?:ni)?([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_name_char(name: str) -> str | None:
+    """Glyph name -> unicode char via the AGL subset above, single-char
+    names, ``uniXXXX``/``uXXXX(XX)`` forms, and base+accent-suffix names
+    (Aacute .. zcaron) resolved through the unicode name registry."""
+    if name in _AGL:
+        return _AGL[name]
+    if len(name) == 1 and name.isascii() and name.isprintable():
+        return name
+    m = _UNI_NAME_RE.fullmatch(name)
+    if m:
+        try:
+            return chr(int(m.group(1), 16))
+        except (ValueError, OverflowError):
+            return None
+    for suf, acc in _ACCENT_SUFFIX.items():
+        if name.endswith(suf) and len(name) == len(suf) + 1:
+            base = name[0]
+            if base.isascii() and base.isalpha():
+                import unicodedata
+
+                case = "CAPITAL" if base.isupper() else "SMALL"
+                try:
+                    return unicodedata.lookup(
+                        f"LATIN {case} LETTER {base.upper()} WITH {acc}"
+                    )
+                except KeyError:
+                    return None
+    return None
+
+
+def _read_cff_index(b: bytes, off: int) -> tuple[list[bytes], int]:
+    """A CFF INDEX at ``off`` -> (items, offset past the INDEX)."""
+    count = _u16(b, off)
+    if count == 0:
+        return [], off + 2
+    osz = b[off + 2]
+    offs = [
+        int.from_bytes(b[off + 3 + i * osz: off + 3 + (i + 1) * osz], "big")
+        for i in range(count + 1)
+    ]
+    data = off + 3 + (count + 1) * osz - 1
+    return [b[data + offs[i]: data + offs[i + 1]] for i in range(count)], (
+        data + offs[count]
+    )
+
+
+def _parse_cff_dict(data: bytes) -> dict[int, list]:
+    """CFF DICT bytes -> {operator: operands}; two-byte (12 x) operators
+    are keyed 1200+x. Reals are skipped (not needed for offsets)."""
+    out: dict[int, list] = {}
+    operands: list = []
+    i = 0
+    while i < len(data):
+        b0 = data[i]
+        if b0 <= 21:
+            op = b0
+            i += 1
+            if b0 == 12:
+                op = 1200 + data[i]
+                i += 1
+            out[op] = operands
+            operands = []
+        elif b0 == 28:
+            operands.append(int.from_bytes(data[i + 1:i + 3], "big", signed=True))
+            i += 3
+        elif b0 == 29:
+            operands.append(int.from_bytes(data[i + 1:i + 5], "big", signed=True))
+            i += 5
+        elif b0 == 30:  # real number: nibbles until an 0xF terminator
+            i += 1
+            while i < len(data):
+                byte = data[i]
+                i += 1
+                if (byte & 0x0F) == 0x0F or (byte >> 4) == 0x0F:
+                    break
+            operands.append(0)
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + data[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - data[i + 1] - 108)
+            i += 2
+        else:  # reserved byte: skip defensively
+            i += 1
+    return out
+
+
+def _parse_cff_charset(b: bytes, off: int, nglyphs: int) -> list[int]:
+    """CFF charset (formats 0/1/2) -> per-gid SID list (gid 0 = .notdef)."""
+    fmt = b[off]
+    sids = [0]
+    if fmt == 0:
+        for i in range(nglyphs - 1):
+            sids.append(_u16(b, off + 1 + 2 * i))
+    elif fmt in (1, 2):
+        i = off + 1
+        while len(sids) < nglyphs:
+            first = _u16(b, i)
+            nleft = b[i + 2] if fmt == 1 else _u16(b, i + 2)
+            i += 3 if fmt == 1 else 4
+            for k in range(nleft + 1):
+                if len(sids) < nglyphs:
+                    sids.append(first + k)
+    return sids
+
+
+def _cff_gid_to_unicode(cff: bytes) -> dict[int, str]:
+    """A bare CFF (/FontFile3 /Type1C) or OpenType-wrapped CFF blob ->
+    {glyph id: unicode char}, by resolving the charset's glyph NAMES
+    (standard strings + the font's String INDEX) through the glyph-name
+    rules — the CFF sibling of :func:`_ttf_gid_to_unicode`, covering the
+    LaTeX/commercial subset-CFF fonts the reference reads via PyMuPDF
+    (pdf_preprocessing.py:313-399). CID-keyed CFFs (a /ROS in the top
+    DICT) have no glyph names — their charset maps to registry CIDs, which
+    are unmappable without external registry tables — so they return {}
+    (the caller's loud-drop path), as does any malformed blob."""
+    try:
+        if cff[:4] == b"OTTO":  # OpenType wrapper: locate the CFF table
+            for i in range(_u16(cff, 4)):
+                rec = 12 + 16 * i
+                if cff[rec:rec + 4] == b"CFF ":
+                    o, ln = _u32(cff, rec + 8), _u32(cff, rec + 12)
+                    cff = cff[o:o + ln]
+                    break
+            else:
+                return {}
+        if len(cff) < 4 or cff[0] != 1:
+            return {}
+        off = cff[2]  # hdrSize
+        _, off = _read_cff_index(cff, off)            # Name INDEX
+        tops, off = _read_cff_index(cff, off)         # Top DICT INDEX
+        strings, off = _read_cff_index(cff, off)      # String INDEX
+        if not tops:
+            return {}
+        top = _parse_cff_dict(tops[0])
+        if 1230 in top:  # /ROS: CID-keyed, no glyph names
+            return {}
+        if 17 not in top or not top[17]:
+            return {}
+        charstrings, _ = _read_cff_index(cff, int(top[17][0]))
+        n = len(charstrings)
+        ch_off = int(top.get(15, [0])[0]) if top.get(15) else 0
+        if ch_off in (0, 1, 2):
+            # predefined charsets: the glyph order IS the standard-strings
+            # prefix, so gid == SID over the embedded glyph count
+            sids = list(range(n))
+        else:
+            sids = _parse_cff_charset(cff, ch_off, n)
+        out: dict[int, str] = {}
+        for gid, sid in enumerate(sids):
+            if gid == 0 or sid == 0:
+                continue
+            if sid < 391:
+                name = _CFF_STD_STRINGS[sid] if sid < len(_CFF_STD_STRINGS) else None
+            else:
+                k = sid - 391
+                name = strings[k].decode("latin-1") if k < len(strings) else None
+            ch = _glyph_name_char(name) if name else None
+            if ch:
+                out.setdefault(gid, ch)
+        return out
+    except (IndexError, ValueError, OverflowError):
+        return {}
+
+
 def _type0_fontfile_cmap(fb: bytes, bodies: dict[int, bytes]):
     """Type0-without-/ToUnicode fallback: walk /DescendantFonts ->
     /FontDescriptor -> /FontFile2, invert the embedded TrueType's cmap, and
@@ -309,7 +573,20 @@ def _type0_fontfile_cmap(fb: bytes, bodies: dict[int, bytes]):
     ffm = _FONTFILE2_RE.search(fd) if fd else None
     ttf = _stream_data(bodies[int(ffm.group(1))]) if ffm and int(ffm.group(1)) in bodies else None
     if not ttf:
-        return None
+        # CFF path: /FontFile3 (Type1C / OpenType-wrapped CFF). Glyph names
+        # from the charset invert to unicode; for a CIDFontType0 the
+        # Identity-H code IS the GID (CIDToGIDMap applies only to Type2).
+        f3 = _FONTFILE3_RE.search(fd) if fd else None
+        cff = (
+            _stream_data(bodies[int(f3.group(1))])
+            if f3 and int(f3.group(1)) in bodies else None
+        )
+        if not cff:
+            return None
+        gid_to_char = _cff_gid_to_unicode(cff)
+        if not gid_to_char:  # CID-keyed / malformed: loud drop
+            return None
+        return dict(gid_to_char), 2
     gid_to_char = _ttf_gid_to_unicode(ttf)
     if not gid_to_char:
         return None
@@ -524,6 +801,57 @@ def _cid_codes(charset: list[str]) -> tuple[dict[str, int], bytes]:
     return code_of, "\n".join(parts).encode()
 
 
+def _cff_bytes(char_to_gid: dict[str, int]) -> bytes:
+    """Fixture helper: a minimal bare CFF (the /FontFile3 /Type1C payload)
+    whose charset names each glyph ``uniXXXX`` via the font's String INDEX —
+    the only structures ``_cff_gid_to_unicode`` reads (Name INDEX, Top DICT,
+    String INDEX, charset format 0, CharStrings count). Charstrings are
+    1-byte endchar stubs; a renderable font would need real outlines."""
+    import struct
+
+    def index(items: list[bytes]) -> bytes:
+        if not items:
+            return b"\x00\x00"
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        osz = 1 if offs[-1] < 256 else 2
+        pack = (lambda o: bytes([o])) if osz == 1 else (
+            lambda o: struct.pack(">H", o)
+        )
+        return (
+            struct.pack(">HB", len(items), osz)
+            + b"".join(pack(o) for o in offs) + b"".join(items)
+        )
+
+    n = max(char_to_gid.values()) + 1
+    gid_to_char: dict[int, str] = {}
+    for c, g in sorted(char_to_gid.items()):
+        gid_to_char.setdefault(g, c)
+    names, sid_of_gid = [], {}
+    for g in sorted(gid_to_char):
+        sid_of_gid[g] = 391 + len(names)
+        names.append(f"uni{ord(gid_to_char[g]):04X}".encode())
+    header = b"\x01\x00\x04\x02"
+    name_idx = index([b"SynthCFF"])
+    strings_idx = index(names)
+    gsubr_idx = index([])
+    charstrings = index([b"\x0e"] * n)
+    charset = b"\x00" + b"".join(
+        struct.pack(">H", sid_of_gid.get(g, 0)) for g in range(1, n)
+    )
+
+    def top(cs: int, ch: int) -> bytes:  # fixed-width int32 operands
+        return (b"\x1d" + struct.pack(">i", cs) + b"\x0f"
+                + b"\x1d" + struct.pack(">i", ch) + b"\x11")
+
+    top_idx_len = len(index([top(0, 0)]))
+    base = len(header) + len(name_idx) + top_idx_len + len(strings_idx) + len(gsubr_idx)
+    top_idx = index([top(base, base + len(charset))])
+    assert len(top_idx) == top_idx_len
+    return header + name_idx + top_idx + strings_idx + gsubr_idx + charset + charstrings
+
+
 def _ttf_bytes(char_to_gid: dict[str, int]) -> bytes:
     """Fixture helper: a minimal TrueType blob whose format-4 ``cmap``
     subtable maps each char to its glyph id — the only table
@@ -560,7 +888,10 @@ def _ttf_bytes(char_to_gid: dict[str, int]) -> bytes:
     )
 
 
-def pdf_bytes(pages: list, cid: bool = False, tounicode: bool = True) -> bytes:
+def pdf_bytes(
+    pages: list, cid: bool = False, tounicode: bool = True,
+    fontfile: str = "ttf",
+) -> bytes:
     """Minimal PDF serializer. ``pages`` is a list of pages; each page is a
     list of str (text line) or ("image", jpeg_bytes) items. Content streams
     are Flate-compressed; images are /DCTDecode XObjects — exercising
@@ -602,22 +933,39 @@ def pdf_bytes(pages: list, cid: bool = False, tounicode: bool = True) -> bytes:
         else:
             desc_id, fd_id, ff_id = next_id, next_id + 1, next_id + 2
             next_id += 3
-            ttf = _ttf_bytes(code_of)  # gid == CID (Identity map)
-            objs[ff_id] = (
-                b"<< /Length " + str(len(ttf)).encode()
-                + b" /Length1 " + str(len(ttf)).encode()
-                + b" >>\nstream\n" + ttf + b"\nendstream"
-            )
-            objs[fd_id] = (
-                b"<< /Type /FontDescriptor /FontName /Synth /Flags 4"
-                b" /FontFile2 " + str(ff_id).encode() + b" 0 R >>"
-            )
-            objs[desc_id] = (
-                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth"
-                b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
-                b" /Supplement 0 >> /FontDescriptor " + str(fd_id).encode()
-                + b" 0 R /CIDToGIDMap /Identity >>"
-            )
+            if fontfile == "cff":
+                blob = _cff_bytes(code_of)  # gid == CID (CIDFontType0)
+                objs[ff_id] = (
+                    b"<< /Subtype /Type1C /Length " + str(len(blob)).encode()
+                    + b" >>\nstream\n" + blob + b"\nendstream"
+                )
+                objs[fd_id] = (
+                    b"<< /Type /FontDescriptor /FontName /Synth /Flags 4"
+                    b" /FontFile3 " + str(ff_id).encode() + b" 0 R >>"
+                )
+                objs[desc_id] = (
+                    b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synth"
+                    b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+                    b" /Supplement 0 >> /FontDescriptor " + str(fd_id).encode()
+                    + b" 0 R >>"
+                )
+            else:
+                ttf = _ttf_bytes(code_of)  # gid == CID (Identity map)
+                objs[ff_id] = (
+                    b"<< /Length " + str(len(ttf)).encode()
+                    + b" /Length1 " + str(len(ttf)).encode()
+                    + b" >>\nstream\n" + ttf + b"\nendstream"
+                )
+                objs[fd_id] = (
+                    b"<< /Type /FontDescriptor /FontName /Synth /Flags 4"
+                    b" /FontFile2 " + str(ff_id).encode() + b" 0 R >>"
+                )
+                objs[desc_id] = (
+                    b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth"
+                    b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+                    b" /Supplement 0 >> /FontDescriptor " + str(fd_id).encode()
+                    + b" 0 R /CIDToGIDMap /Identity >>"
+                )
             objs[font_id] = (
                 b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth"
                 b" /Encoding /Identity-H /DescendantFonts ["

@@ -17,11 +17,54 @@ recommended pattern for backfill + incremental jobs.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT, PipelineConfig
 from ..operators import chunker, extractor
 from .. import synth
+
+
+def _run_token(checkpoint_dir: str) -> str:
+    """Stable identifier for a logical streaming query: the checkpoint dir
+    names the query's progress log, so a crash-replayed micro-batch carries
+    the SAME (run, batch_id) key, while a fresh checkpoint (a new logical
+    run over the same sink, batch numbering restarting at 0) gets a new one.
+    """
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+
+def _read_state(
+    spark: SparkSession, path: str, fallback_schema: str, run: str, batch_id: int
+) -> DataFrame:
+    """Read a per-batch-partitioned state table, excluding any rows a prior
+    PARTIAL attempt of the current micro-batch wrote.
+
+    The foreachBatch state tables are laid out ``path/run=<tok>/batch_id=<n>/``
+    and each batch writes its partition with mode("overwrite"), so a replayed
+    batch (failure between the two state writes, or before checkpoint
+    commit) recomputes from exactly the pre-batch state and overwrites its
+    own partial output — the batch converges to the same state no matter
+    how many times it replays. The run token (:func:`_run_token`) scopes the
+    exclusion: batch 0 of a NEW checkpoint must not shadow batch 0 of an
+    earlier run whose output it is resuming over.
+
+    Only a missing path means "first batch": corrupt files, transient IO,
+    and permission errors PROPAGATE and fail the micro-batch (silently
+    treating them as empty state would re-admit every known duplicate).
+    """
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        return spark.createDataFrame([], fallback_schema)
+    return df.filter(
+        ~((F.col("run") == F.lit(run)) & (F.col("batch_id") == F.lit(batch_id)))
+    )
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 EVENTS_SCHEMA = (
@@ -85,29 +128,31 @@ def stream_extract(
     the trigger for continuous micro-batches).
     """
     cache_path = f"{out_dir}/raw_cache"
+    run = _run_token(checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        part = f"run={run}/batch_id={batch_id}"
         docs = synth.nest_spans(synth.spans_from_docs(batch_df, cfg))
         chunks = chunker.chunk_docs(docs, cfg)
-        try:
-            cache = spark.read.parquet(cache_path).select("chunk_id", "output")
-        except Exception:  # first batch: no cache table yet
-            cache = spark.createDataFrame([], "chunk_id string, output string")
+        cache = _read_state(
+            spark, cache_path,
+            "doc_id string, chunk_id string, output string,"
+            " run string, batch_id long",
+            run, batch_id,
+        ).select("chunk_id", "output")
         _, new_raw = extractor.extract_raw_with_cache(chunks, cache, extract_fn, cfg)
         new_raw = new_raw.persist()
         parsed = extractor.parse_records(new_raw)
         mentions = extractor.decode_mentions(parsed)
         triples = extractor.decode_triples(parsed)
-        mentions.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            f"{out_dir}/mentions"
-        )
-        triples.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            f"{out_dir}/triples"
-        )
-        new_raw.select("doc_id", "chunk_id", "output").write.mode("append").parquet(
-            cache_path
+        # per-batch partition overwrite (not append): replay-idempotent —
+        # see _read_state
+        mentions.write.mode("overwrite").parquet(f"{out_dir}/mentions/{part}")
+        triples.write.mode("overwrite").parquet(f"{out_dir}/triples/{part}")
+        new_raw.select("doc_id", "chunk_id", "output").write.mode("overwrite").parquet(
+            f"{cache_path}/{part}"
         )
         new_raw.unpersist()
 
@@ -214,7 +259,9 @@ def stream_near_duplicates(
     form of MinHash+LSH dedup a continuously-fed training-data pipeline
     needs (the batch operators dedup a corpus at rest; this gates a feed).
 
-    State is two append-only parquet tables under ``out_dir``:
+    State is two batch_id-partitioned parquet tables under ``out_dir``
+    (per-batch partition overwrite → micro-batch replay converges, see
+    :func:`_read_state`):
 
     * ``admitted`` — the surviving documents (the gate's output relation);
     * ``lsh_buckets`` — their LSH band rows ``(doc_id, band, bkey)``
@@ -250,6 +297,35 @@ def stream_near_duplicates(
     co-locate. Returns the started StreamingQuery (AvailableNow trigger —
     rerun on arrival, same contract as :func:`stream_extract`).
     """
+
+    run = _run_token(checkpoint_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        near_dup_process_batch(
+            spark, batch_df, batch_id, out_dir, threshold, cfg, run=run
+        )
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def near_dup_process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    threshold: float = 0.5,
+    cfg: PipelineConfig = DEFAULT,
+    run: str = "direct",
+) -> None:
+    """One micro-batch of the near-dup admission gate (module-level so the
+    replay-idempotency contract is directly testable: calling it twice with
+    the same batch_id must leave the state tables identical)."""
     from ..operators import dedup
 
     thr_pm = int(threshold * 1_000_000)
@@ -272,59 +348,59 @@ def stream_near_duplicates(
             .filter(F.col("jaccard_pm") >= thr_pm)
         )
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        docs = batch_df.select("doc_id", "text")
-        buckets = dedup.lsh_bucket_rows(docs, cfg)
-        try:
-            store = spark.read.parquet(store_path)
-            admitted = spark.read.parquet(admitted_path).select("doc_id", "text")
-        except Exception:  # first batch: no state tables yet
-            store = spark.createDataFrame([], "doc_id long, band int, bkey string")
-            admitted = spark.createDataFrame([], "doc_id long, text string")
-        cand = (
-            buckets.alias("n")
-            .join(store.alias("o"), ["band", "bkey"])
-            .select(F.col("n.doc_id").alias("a"), F.col("o.doc_id").alias("b"))
-            .distinct()
-        )
-        sh_new = dedup._shingle_sets(
-            dedup.shingle_rows(docs, cfg)
-            .join(cand.select(F.col("a").alias("doc_id")).distinct(),
-                  "doc_id", "left_semi")
-        )
-        sh_old = dedup._shingle_sets(
-            dedup.shingle_rows(admitted, cfg)
-            .join(cand.select(F.col("b").alias("doc_id")).distinct(),
-                  "doc_id", "left_semi")
-        )
-        dup_of_old = _jaccard(cand, sh_new, sh_old)
-        novel = docs.join(
-            dup_of_old.select(F.col("a").alias("doc_id")).distinct(),
-            "doc_id", "left_anti",
-        )
-        reps = dedup.duplicate_clusters(
-            novel,
-            pairs=dedup.minhash_near_duplicates(novel, threshold, cfg),
-            cfg=cfg,
-        )
-        admit_ids = (
-            reps.filter(F.col("doc_id") == F.col("cluster_rep"))
-            .select("doc_id")
-            .localCheckpoint(eager=True)  # cut the iterative-clustering plan
-        )
-        batch_df.join(admit_ids, "doc_id", "left_semi").withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(admitted_path)
-        buckets.join(admit_ids, "doc_id", "left_semi").write.mode(
-            "append"
-        ).parquet(store_path)
-
-    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    if batch_df.isEmpty():
+        return
+    docs = batch_df.select("doc_id", "text")
+    buckets = dedup.lsh_bucket_rows(docs, cfg)
+    store = _read_state(
+        spark, store_path,
+        "doc_id long, band int, bkey string, run string, batch_id long",
+        run, batch_id,
     )
+    admitted = _read_state(
+        spark, admitted_path,
+        DOCS_SCHEMA + ", run string, batch_id long", run, batch_id,
+    ).select("doc_id", "text")
+    cand = (
+        buckets.alias("n")
+        .join(store.alias("o"), ["band", "bkey"])
+        .select(F.col("n.doc_id").alias("a"), F.col("o.doc_id").alias("b"))
+        .distinct()
+    )
+    sh_new = dedup._shingle_sets(
+        dedup.shingle_rows(docs, cfg)
+        .join(cand.select(F.col("a").alias("doc_id")).distinct(),
+              "doc_id", "left_semi")
+    )
+    sh_old = dedup._shingle_sets(
+        dedup.shingle_rows(admitted, cfg)
+        .join(cand.select(F.col("b").alias("doc_id")).distinct(),
+              "doc_id", "left_semi")
+    )
+    dup_of_old = _jaccard(cand, sh_new, sh_old)
+    novel = docs.join(
+        dup_of_old.select(F.col("a").alias("doc_id")).distinct(),
+        "doc_id", "left_anti",
+    )
+    reps = dedup.duplicate_clusters(
+        novel,
+        pairs=dedup.minhash_near_duplicates(novel, threshold, cfg),
+        cfg=cfg,
+    )
+    admit_ids = (
+        reps.filter(F.col("doc_id") == F.col("cluster_rep"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # cut the iterative-clustering plan
+    )
+    # per-batch partition overwrite on BOTH tables: a replayed batch
+    # (e.g. failure between the two writes) recomputes from pre-batch
+    # state (_read_state drops its own partial rows) and overwrites its
+    # partitions — admitted and lsh_buckets can never disagree durably
+    part = f"run={run}/batch_id={batch_id}"
+    batch_df.join(admit_ids, "doc_id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(f"{admitted_path}/{part}")
+    buckets.join(admit_ids, "doc_id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/{part}")
+

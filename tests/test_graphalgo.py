@@ -109,6 +109,44 @@ def test_neighbor_similarity_known_graph(spark):
     assert kept == {("l1", "l2")}
 
 
+def test_neighbor_similarity_hub_center_cap(spark):
+    # skew fixture: one hub H of degree 200 among tiny nodes. Uncapped, H
+    # alone emits 200*199/2 = 19,900 wedge pairs; with the center cap below
+    # the hub degree, output stays O(deg * cap) — here exactly the one pair
+    # wedging through the small center c.
+    hub_edges = [("H", f"l{i}") for i in range(200)]
+    edges = hub_edges + [("c", "l0"), ("c", "l1")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+
+    uncapped = graphalgo.neighbor_similarity(
+        edf, threshold_pm=0, max_center_deg=10**9
+    )
+    assert uncapped.count() >= 19_900  # the quadratic hub blow-up, measured
+
+    capped = graphalgo.neighbor_similarity(edf, threshold_pm=0, max_center_deg=50)
+    rows = {(r.a, r.b): (r.common, r.jaccard_pm) for r in capped.collect()}
+    # the 19,900 hub-centered leaf pairs are gone; what remains is (l0, l1)
+    # through the small center c — `common` counts surviving centers (1,
+    # not 2: the hub is dropped as evidence) while the denominator keeps
+    # the FULL degrees, 1 / (2 + 2 - 1) — and (H, c) through centers l0/l1
+    # (both deg 2), full degrees 200 and 2: 2 / (200 + 2 - 2)
+    assert rows == {("l0", "l1"): (1, 333_333), ("H", "c"): (2, 10_000)}
+
+    # default cap (10k) is far above any small-graph degree: identical to
+    # uncapped on the known fixture, so oracle parity is unaffected
+    base = {
+        (r.a, r.b): (r.common, r.jaccard_pm)
+        for r in graphalgo.neighbor_similarity(edf, threshold_pm=500_000).collect()
+    }
+    want = {
+        (r.a, r.b): (r.common, r.jaccard_pm)
+        for r in graphalgo.neighbor_similarity(
+            edf, threshold_pm=500_000, max_center_deg=10**9
+        ).collect()
+    }
+    assert base == want
+
+
 def test_connected_components_known_graph(spark):
     # path a-b-c (component 'a'), pair x-y (component 'x'), isolate z
     names = ["a", "b", "c", "x", "y", "z"]

@@ -267,3 +267,17 @@ def test_distributed_graphml_export_equals_driver_export(replayed, spark, tmp_pa
     assert sorted(map(key_n, n1)) == sorted(map(key_n, n2))
     key_e = lambda e: tuple(sorted((k, v) for k, v in e.items()))
     assert sorted(map(key_e, e1)) == sorted(map(key_e, e2))
+
+
+def test_export_graphml_size_guard_trips(replayed, spark, tmp_path):
+    """The single-file driver-side exporter must refuse graphs above its
+    max_rows bound and point at the distributed variant."""
+    import pytest
+
+    _, _, _, nodes_df, edges_df = replayed
+    one_n = nodes_df.filter(F.col("doc_id") == "image_1").drop("doc_id")
+    one_e = edges_df.filter(F.col("doc_id") == "image_1").drop("doc_id")
+    out = str(tmp_path / "guarded.graphml")
+    with pytest.raises(ValueError, match="export_graphml_distributed"):
+        graphml.export_graphml(one_n, one_e, out, max_rows=1)
+    assert not (tmp_path / "guarded.graphml").exists()

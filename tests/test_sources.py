@@ -486,3 +486,82 @@ def test_docx_serializer_escapes_xml_specials(tmp_path):
     tricky = 'a < b && c > "d" <w:t>fake</w:t>'
     spans, _ = docx.parse_docx("d", docx.docx_bytes([tricky, "plain"]))
     assert spans[0][2] == tricky and spans[1][2] == "plain"
+
+
+def test_pdf_reader_decodes_type0_via_embedded_cff_charset():
+    """A Type0 PDF with NO /ToUnicode but an embedded CFF
+    (/DescendantFonts -> /FontDescriptor -> /FontFile3 /Type1C) decodes by
+    resolving the CFF charset's glyph names to unicode — the
+    LaTeX/commercial subset-CFF shape the reference reads via PyMuPDF
+    (pdf_preprocessing.py:313-399), previously the loud-drop gap. Codes
+    are non-identity, so latin-1 would garble and an ignored font file
+    would drop everything."""
+    pages = [
+        ["Dice loss for Data-imbalanced NLP tasks!",
+         "We use the F1 score (macro), see: section 3."],
+        [("image", FAKE_JPEG), "after the figure, more prose."],
+    ]
+    blob = pdf.pdf_bytes(pages, cid=True, tounicode=False, fontfile="cff")
+    assert b"/ToUnicode" not in blob and b"/FontFile3" in blob
+    assert b"/FontFile2" not in blob
+    got, media = pdf.parse_pdf("d", blob)
+    got_simple, _ = pdf.parse_pdf("d", pdf.pdf_bytes(pages))
+    assert got == got_simple
+    assert len(media) == 1 and media[0][3] == FAKE_JPEG
+
+
+def test_cff_gid_to_unicode_charset_paths():
+    """The CFF inverse handles standard-string SIDs (charset format 0),
+    custom String-INDEX names (uniXXXX and single-char), accent-suffix
+    names, and refuses CID-keyed CFFs (no glyph names -> loud drop)."""
+    import struct
+
+    # standard-strings route: glyphs [.notdef, space, H, e, eacute]
+    # SIDs: space=1, A..Z start at 34 -> H=41; a..z start at 66 -> e=70;
+    # eacute=207 (accented block)
+    assert pdf._CFF_STD_STRINGS[1] == "space"
+    assert pdf._CFF_STD_STRINGS[41] == "H"
+    assert pdf._CFF_STD_STRINGS[70] == "e"
+    assert pdf._CFF_STD_STRINGS[207] == "eacute"
+
+    def index(items):
+        if not items:
+            return b"\x00\x00"
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return (struct.pack(">HB", len(items), 1)
+                + bytes(offs) + b"".join(items))
+
+    def mini_cff(sids, strings=(), cid_keyed=False):
+        n = len(sids) + 1  # + .notdef
+        header = b"\x01\x00\x04\x01"
+        name_idx = index([b"T"])
+        strings_idx = index(list(strings))
+        gsubr_idx = index([])
+        charstrings = index([b"\x0e"] * n)
+        charset = b"\x00" + b"".join(struct.pack(">H", s) for s in sids)
+        ros = b""
+        if cid_keyed:  # /ROS: registry SID, ordering SID, supplement
+            ros = b"\x8c\x8c\x8b\x0c\x1e"
+        top = (ros + b"\x1d" + struct.pack(">i", 0) + b"\x0f"
+               + b"\x1d" + struct.pack(">i", 0) + b"\x11")
+        top_idx_len = len(index([top]))
+        base = (len(header) + len(name_idx) + top_idx_len
+                + len(strings_idx) + len(gsubr_idx))
+        top = (ros + b"\x1d" + struct.pack(">i", base) + b"\x0f"
+               + b"\x1d" + struct.pack(">i", base + len(charset)) + b"\x11")
+        return (header + name_idx + index([top]) + strings_idx + gsubr_idx
+                + charset + charstrings)
+
+    got = pdf._cff_gid_to_unicode(mini_cff([1, 41, 70, 207]))
+    assert got == {1: " ", 2: "H", 3: "e", 4: "é"}
+
+    # custom strings: SID 391 -> "uni2605" (★), SID 392 -> "Z"
+    got2 = pdf._cff_gid_to_unicode(
+        mini_cff([391, 392], strings=[b"uni2605", b"Z"])
+    )
+    assert got2 == {1: "★", 2: "Z"}
+
+    # CID-keyed (/ROS present): charset carries CIDs, not names -> {}
+    assert pdf._cff_gid_to_unicode(mini_cff([1, 41], cid_keyed=True)) == {}

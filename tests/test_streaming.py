@@ -54,7 +54,7 @@ def test_stream_extract_matches_batch(spark, tmp_path):
 
     got = (
         spark.read.parquet(f"{out}/mentions")
-        .drop("batch_id").toPandas()
+        .drop("batch_id", "run").toPandas()
         .sort_values(["chunk_id", "entity_name", "entity_type", "description"])
         .reset_index(drop=True)
     )
@@ -283,3 +283,51 @@ def test_stream_near_duplicate_gate_matches_batch_collapse(spark, tmp_path):
         .select("doc_id").distinct().collect()
     )
     assert store_docs == admitted2
+
+
+def test_near_dup_gate_micro_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must converge to the same
+    state even when the prior attempt was PARTIAL — only the admitted table
+    written, the bucket store not yet (the non-atomic window foreachBatch
+    replay can land in)."""
+    out = str(tmp_path / "replay_out")
+
+    docs = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .orderBy("doc_id").limit(6)
+    )
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + F.lit(1000))
+
+    # batch 0 admits the originals
+    incremental.near_dup_process_batch(spark, docs, 0, out)
+    admitted0 = {r.doc_id for r in spark.read.parquet(f"{out}/admitted").collect()}
+    store0 = sorted(
+        (r.doc_id, r.band, r.bkey)
+        for r in spark.read.parquet(f"{out}/lsh_buckets").collect()
+    )
+
+    # simulate a PARTIAL attempt of batch 1: admitted written, store not.
+    # A naive gate reading that state would see the dup docs as "already
+    # admitted" text but form no candidates (no bucket rows) and re-admit.
+    dup.withColumn("lang", F.col("lang")).write.mode("overwrite").parquet(
+        f"{out}/admitted/run=direct/batch_id=1"
+    )
+
+    # replay batch 1 in full: must ignore its own partial rows, reject the
+    # duplicates of batch 0's admissions, and leave both tables consistent
+    incremental.near_dup_process_batch(spark, dup, 1, out)
+    admitted_replay = {
+        r.doc_id for r in spark.read.parquet(f"{out}/admitted").collect()
+    }
+    store_replay = sorted(
+        (r.doc_id, r.band, r.bkey)
+        for r in spark.read.parquet(f"{out}/lsh_buckets").collect()
+    )
+    assert admitted_replay == admitted0          # every dup rejected
+    assert store_replay == store0                # store matches admitted
+
+    # replaying AGAIN changes nothing (fixpoint)
+    incremental.near_dup_process_batch(spark, dup, 1, out)
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{out}/admitted").collect()
+    } == admitted0
