@@ -172,10 +172,10 @@ own JVM with its own 4 GiB heap — separate GC, separate Python worker pool,
 cross-JVM (localhost-socket) shuffle. Input: {n_docs} docs ({replicas}x
 sf0.1 replica fixture, tools/scaling.gen_fixture).
 
-| level | executors x cores | wall (s) | docs/s | rep walls |
-|---|---|---|---|---|
-| N | 1 x 4 | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo['rep_walls']} |
-| 4N | 4 x 4 | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi['rep_walls']} |
+| level | executors x cores | wall (s) | docs/s | schedule | rep walls |
+|---|---|---|---|---|---|
+| N | 1 x 4 | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo.get('best_schedule', 'serial')} | {lo['rep_walls']} |
+| 4N | 4 x 4 | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi.get('best_schedule', 'serial')} | {hi['rep_walls']} |
 
 **Speedup {lo['wall_sec'] / hi['wall_sec']:.2f}x at 4x executors -> scaling
 efficiency {eff:.3f}.**
