@@ -71,7 +71,7 @@ def _wait_port(port: int, timeout_s: float = 60.0) -> None:
 
 
 def start_cluster(log_dir: Path, n_workers: int = 4, cores: int = 4,
-                  mem: str = "8g") -> list[subprocess.Popen]:
+                  mem: str = "8g") -> "list[subprocess.Popen]":
     """Master + n_workers separate JVMs via spark-class."""
     spark_class = str(_spark_bin() / "spark-class")
     env = {**os.environ, "SPARK_LOCAL_IP": "127.0.0.1"}
@@ -97,9 +97,10 @@ def start_cluster(log_dir: Path, n_workers: int = 4, cores: int = 4,
     return procs
 
 
-def submit(cores_max: int, fixture: str, pyzip: Path, reps: int = 2) -> dict:
-    """spark-submit the job at a given total-core budget (4-core executors:
-    cores_max=4 -> 1 executor JVM, 16 -> 4 executor JVMs)."""
+def submit(cores_max: int, fixture: str, pyzip: Path, reps: int = 2,
+           executor_cores: int = 4) -> dict:
+    """spark-submit the job at a given total-core budget (with k-core
+    executors: cores_max=k -> 1 executor JVM, 4k -> 4 executor JVMs)."""
     spark_submit = str(_spark_bin() / "spark-submit")
     local_dir = "/dev/shm/spark-local-sa" if os.path.isdir("/dev/shm") else "/tmp/spark-local-sa"
     cmd = [
@@ -107,7 +108,7 @@ def submit(cores_max: int, fixture: str, pyzip: Path, reps: int = 2) -> dict:
         "--master", MASTER_URL,
         "--deploy-mode", "client",
         "--py-files", str(pyzip),
-        "--conf", "spark.executor.cores=4",
+        "--conf", f"spark.executor.cores={executor_cores}",
         "--conf", f"spark.cores.max={cores_max}",
         "--conf", "spark.executor.memory=4g",
         "--conf", f"spark.sql.shuffle.partitions={max(cores_max, 8)}",
@@ -132,6 +133,13 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # executor core count k: the harness compares 1 executor x k cores vs
+    # 4 executors x k cores. k=4 (default) is the committed headline pair
+    # (4 -> 16 total threads); k=2 keeps BOTH levels inside this host's
+    # probe-measured ~8-thread DRAM-bandwidth envelope (BENCH/BASELINE.md),
+    # so the 2 -> 8 pair shows what the plans scale like when the bus is
+    # not the binding constraint.
+    exec_cores = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     fixture_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     fixture = f"{fixture_root}/kg_standalone_fixture"
     n_docs = gen_fixture(sf_dir, replicas, fixture)
@@ -139,14 +147,15 @@ def main() -> None:
 
     log_dir = Path(fixture_root) / "kg_standalone_logs"
     pyzip = build_zip(Path(fixture_root) / "mmgraphrag_spark.zip")
-    procs = start_cluster(log_dir)
-    best = {4: None, 16: None}
+    lo_cores, hi_cores = exec_cores, 4 * exec_cores
+    procs = start_cluster(log_dir, cores=exec_cores)
+    best = {lo_cores: None, hi_cores: None}
     try:
         time.sleep(5)  # workers register with the master
         for _ in range(rounds):
-            for cores in (4, 16):
+            for cores in (lo_cores, hi_cores):
                 _healthy()
-                r = submit(cores, fixture, pyzip)
+                r = submit(cores, fixture, pyzip, executor_cores=exec_cores)
                 r["cores"] = cores
                 print(json.dumps(r))
                 if best[cores] is None or r["wall_sec"] < best[cores]["wall_sec"]:
@@ -160,10 +169,12 @@ def main() -> None:
             except subprocess.TimeoutExpired:
                 p.kill()
 
-    lo, hi = best[4], best[16]
+    lo, hi = best[lo_cores], best[hi_cores]
     eff = (lo["wall_sec"] / hi["wall_sec"]) / 4
     ts = datetime.now(timezone.utc).isoformat(timespec="seconds")
-    md = f"""# Standalone multi-JVM scaling — {ts}
+    header = "#" if exec_cores == 4 else "##"
+    md = f"""{header} Standalone multi-JVM scaling — {ts}
+(executors of {exec_cores} cores: {lo_cores} -> {hi_cores} total threads)
 
 Real Spark standalone cluster on this host: 1 master JVM + 4 worker JVMs;
 jobs submitted via `spark-submit --py-files mmgraphrag_spark.zip` (the
@@ -174,8 +185,8 @@ sf0.1 replica fixture, tools/scaling.gen_fixture).
 
 | level | executors x cores | wall (s) | docs/s | schedule | rep walls |
 |---|---|---|---|---|---|
-| N | 1 x 4 | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo.get('best_schedule', 'serial')} | {lo['rep_walls']} |
-| 4N | 4 x 4 | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi.get('best_schedule', 'serial')} | {hi['rep_walls']} |
+| N | 1 x {exec_cores} | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo.get('best_schedule', 'serial')} | {lo['rep_walls']} |
+| 4N | 4 x {exec_cores} | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi.get('best_schedule', 'serial')} | {hi['rep_walls']} |
 
 **Speedup {lo['wall_sec'] / hi['wall_sec']:.2f}x at 4x executors -> scaling
 efficiency {eff:.3f}.**
@@ -195,7 +206,13 @@ Notes:
   brings its own bus, which is the regime the >=0.8 rule assumes.
 """
     out = ROOT / "BENCH" / "STANDALONE.md"
-    out.write_text(md)
+    if exec_cores == 4:
+        out.write_text(md)
+    else:
+        # non-default executor size: append as a sub-section, keeping the
+        # committed 4->16 headline table intact
+        with open(out, "a") as fh:
+            fh.write("\n" + md)
     print(md)
 
 
