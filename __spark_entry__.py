@@ -57,6 +57,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # test-set decontamination: training docs sharing word n-grams with
+        # the held-out eval stratum (broadcast-probe shape)
+        "curation_decontam": lambda s, d: curation.decontaminate(
+            curation.docs_table(s, d)
+        ),
+        # Gopher-style repetition quality signals (top-2-gram share,
+        # duplicated-3-gram fraction)
+        "text_repetition": lambda s, d: textstats.repetition_scores(
+            dedup.docs_table(s, d)
+        ),
         # per-doc top-k keywords: raw-ratio integer IDF so the top-k CUT is
         # exact cross-engine (a float-log idf can flip ties in the ranking)
         "text_tfidf": lambda s, d: textstats.tfidf_topk(dedup.docs_table(s, d)),
@@ -154,10 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup / similarity / text analysis
         "dup_exact": lambda s, d: dedup.exact_duplicates(dedup.docs_table(s, d)),
         "dup_clusters": lambda s, d: dedup.duplicate_clusters(dedup.docs_table(s, d)),
-        "dup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(dedup.docs_table(s, d)),
-        "dup_simhash": lambda s, d: dedup.simhash(dedup.docs_table(s, d)),
         # ---- tail: long-stable variants, driver-green in earlier rounds
         # (r1-r4 artifacts), operator code unchanged this round --------------
+        "dup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(dedup.docs_table(s, d)),
+        "dup_simhash": lambda s, d: dedup.simhash(dedup.docs_table(s, d)),
         "kg_mentions_gleaned": lambda s, d: api.mentions(s, d, GLEANED_CFG),
         "kg_mentions_gleaned2": lambda s, d: api.mentions(s, d, GLEANED2_CFG),
         # incremental rewiring path (fusion.fuse_graph_incremental): same
@@ -245,4 +255,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_sample_2d": oracle_extra.stratified_sample_2d_sql(),
         "curation_budget": oracle_extra.stratified_budget_sql(),
         "curation_pack": oracle_extra.pack_sequences_sql(),
+        "curation_decontam": oracle_extra.decontaminate_sql(),
+        "text_repetition": oracle_extra.repetition_sql(),
     }

@@ -151,6 +151,76 @@ def stratified_budget(
     )
 
 
+# held-out eval stratum: the top slice of the SAME doc-fixed hash bucket the
+# samplers use — docs with bucket_ppm >= this are "the benchmark set"
+EVAL_FROM_PPM = 950_000
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = 4,
+    eval_from_ppm: int = EVAL_FROM_PPM,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, hit_grams, n_grams, contam_ppm): training documents that
+    share >= ``min_hits`` word ``n``-grams with the held-out eval stratum —
+    test-set decontamination, the filter every pretraining corpus runs so
+    benchmark text does not leak into training data.
+
+    The eval set here is the top hash slice of the corpus itself (docs with
+    ``bucket_ppm >= eval_from_ppm``, the same doc-fixed multiplicative hash
+    as :func:`stratified_sample` — deterministic, engine-portable, no
+    external data); in production it is whatever benchmark relation you
+    join instead. ``hit_grams`` counts matching n-gram POSITIONS in the
+    training doc (each position matches at most once — the eval gram set is
+    distinct), ``n_grams`` its total positions, ``contam_ppm`` their exact
+    integer ratio.
+
+    Shape at scale: n-grams are md5'd generator expressions (explode — no
+    shuffle, fixed-width keys instead of fat strings), the eval set is ONE
+    distinct over ~1% of grams, and the probe is a broadcast hash join
+    (map-side, zero shuffle of the 99% training side) followed by one
+    groupBy(doc_id) with map-side combine. ``broadcast_eval=False`` drops
+    the hint for a giant holdout (> a few GB of grams) and lets AQE pick a
+    shuffled hash join instead.
+    """
+    gram_expr = (
+        f"transform(sequence(0, greatest(size(w) - {n}, 0)),"
+        f" j -> md5(concat_ws(' ', slice(w, j + 1, {n}))))"
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(HASH_SQL).alias("bucket_ppm"),
+        F.split("text", " ").alias("w"),
+    ).withColumn("grams", F.expr(gram_expr))
+    eval_grams = (
+        base.filter(F.col("bucket_ppm") >= eval_from_ppm)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    train = base.filter(F.col("bucket_ppm") < eval_from_ppm).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    return (
+        train.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hit_grams"),
+            F.min("n_grams").alias("n_grams"),
+        )
+        .filter(F.col("hit_grams") >= min_hits)
+        .select(
+            "doc_id", "hit_grams", "n_grams",
+            F.expr("hit_grams * 1000000L div n_grams").alias("contam_ppm"),
+        )
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = 256, shards: int = 8) -> DataFrame:
     """(doc_id, shard, n_tokens, seq_id, offset_tokens): concat-and-chunk
     sequence packing — within each shard, documents concatenate in doc_id

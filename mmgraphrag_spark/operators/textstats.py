@@ -122,6 +122,71 @@ def fingerprints(docs: DataFrame, window: int = 5) -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_2gram, top2gram_ppm, dup3gram_ppm): Gopher-style
+    repetition signals — the quality rules that catch boilerplate and
+    degenerate generations plain distinct-token ratios miss:
+
+    - ``top2gram_ppm``: positions claimed by the single most frequent word
+      2-gram (ties by gram asc), as an exact integer fraction of all 2-gram
+      positions;
+    - ``dup3gram_ppm``: fraction of word 3-gram positions whose gram occurs
+      more than once in the document.
+
+    Shape at scale: both signals are explode (generator, no shuffle) →
+    groupBy (doc_id, gram) with map-side combine → one per-doc reduction —
+    everything keys on doc_id, so the three joins co-partition and AQE
+    reuses the exchange. Position totals come arithmetically from the token
+    count (greatest(|w|−n,0)+1), not a second aggregation. All-integer, so
+    the DuckDB twin hashes bit-exactly.
+    """
+    from pyspark.sql import Window
+
+    def gram_pos(k: int) -> str:
+        return (
+            f"transform(sequence(0, greatest(size(w) - {k}, 0)),"
+            f" j -> concat_ws(' ', slice(w, j + 1, {k})))"
+        )
+
+    base = docs.select("doc_id", F.split("text", " ").alias("w"))
+    c2 = (
+        base.select("doc_id", F.explode(F.expr(gram_pos(2))).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_2gram"), F.col("cnt").alias("top2_cnt"))
+    )
+    dup3 = (
+        base.select("doc_id", F.explode(F.expr(gram_pos(3))).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
+            ).alias("dup_pos"),
+            F.sum("cnt").alias("tot3"),
+        )
+    )
+    sizes = base.select(
+        "doc_id",
+        (F.greatest(F.size("w") - 2, F.lit(0)) + 1).cast("long").alias("tot2"),
+    )
+    return (
+        top2.join(dup3, "doc_id")
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id", "top_2gram",
+            F.expr("top2_cnt * 1000000L div tot2").alias("top2gram_ppm"),
+            F.expr("dup_pos * 1000000L div tot3").alias("dup3gram_ppm"),
+        )
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, term, tf, df, tfidf_ppm, rnk): each document's top-k keyword
     terms by TF-IDF — the raw-ratio IDF variant idf = (N·10^6) div df, kept

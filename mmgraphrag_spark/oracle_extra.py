@@ -528,6 +528,86 @@ SELECT doc_id, lang, source, bucket_ppm, stratum_rank, budget_n FROM (
 """
 
 
+def decontaminate_sql(
+    n: int = 4, eval_from_ppm: int = 950_000, min_hits: int = 1
+) -> str:
+    """Twin of curation.decontaminate: md5 word n-grams, eval stratum =
+    top hash slice, hit positions counted against the DISTINCT eval set."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST({_CURATION_HASH} AS BIGINT) AS bucket_ppm,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, bucket_ppm,
+         [md5(array_to_string(list_slice(w, j + 1, j + {n}), ' '))
+          for j in range(greatest(len(w) - {n}, 0) + 1)] AS grams
+  FROM d
+),
+ev AS (
+  SELECT DISTINCT u.g AS gram
+  FROM g, UNNEST(grams) AS u(g) WHERE bucket_ppm >= {eval_from_ppm}
+),
+tr AS (
+  SELECT doc_id, len(grams) AS n_grams, u.g AS gram
+  FROM g, UNNEST(grams) AS u(g) WHERE bucket_ppm < {eval_from_ppm}
+),
+h AS (
+  SELECT tr.doc_id, count(*) AS hit_grams, min(tr.n_grams) AS n_grams
+  FROM tr JOIN ev ON ev.gram = tr.gram GROUP BY tr.doc_id
+)
+SELECT doc_id,
+       CAST(hit_grams AS BIGINT) AS hit_grams,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(hit_grams * 1000000 // n_grams AS BIGINT) AS contam_ppm
+FROM h WHERE hit_grams >= {min_hits}
+"""
+
+
+def repetition_sql() -> str:
+    """Twin of textstats.repetition_scores: most-frequent 2-gram share +
+    duplicated 3-gram position fraction, exact integers."""
+    return """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g2 AS (
+  SELECT doc_id, u.g AS gram FROM (
+    SELECT doc_id,
+           [array_to_string(list_slice(w, j + 1, j + 2), ' ')
+            for j in range(greatest(len(w) - 2, 0) + 1)] AS gs
+    FROM d), UNNEST(gs) AS u(g)
+),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+top2 AS (
+  SELECT doc_id, gram AS top_2gram, cnt FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram ASC) AS rn
+    FROM c2) WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id, u.g AS gram FROM (
+    SELECT doc_id,
+           [array_to_string(list_slice(w, j + 1, j + 3), ' ')
+            for j in range(greatest(len(w) - 3, 0) + 1)] AS gs
+    FROM d), UNNEST(gs) AS u(g)
+),
+c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+dup3 AS (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0) AS dup_pos,
+         SUM(cnt) AS tot3
+  FROM c3 GROUP BY doc_id
+),
+sz AS (SELECT doc_id, greatest(len(w) - 2, 0) + 1 AS tot2 FROM d)
+SELECT t.doc_id, t.top_2gram,
+       CAST(t.cnt * 1000000 // s.tot2 AS BIGINT) AS top2gram_ppm,
+       CAST(d3.dup_pos * 1000000 // d3.tot3 AS BIGINT) AS dup3gram_ppm
+FROM top2 t JOIN sz s USING (doc_id) JOIN dup3 d3 USING (doc_id)
+"""
+
+
 def pack_sequences_sql(budget: int = 256, shards: int = 8) -> str:
     """Twin of curation.pack_sequences: per-shard running token sum in
     doc_id order, cut into fixed-budget sequences."""

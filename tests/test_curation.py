@@ -97,3 +97,94 @@ def test_tfidf_topk_matches_python_twin(spark):
         for r in textstats.tfidf_topk(docs, k).collect()
     }
     assert got == want
+
+
+def _bucket(doc_id: int) -> int:
+    return (doc_id % 2147483647) * 2654435761 % 4294967296 % 1000000
+
+
+def test_decontaminate_matches_python_twin(spark):
+    import hashlib
+
+    n, eval_from = 4, 950_000
+    rows = _docs(spark).select("doc_id", "text").collect()
+
+    def grams(text: str) -> list[str]:
+        w = text.split(" ")
+        return [
+            hashlib.md5(" ".join(w[j : j + n]).encode()).hexdigest()
+            for j in range(max(len(w) - n, 0) + 1)
+        ]
+
+    ev = {g for r in rows if _bucket(r.doc_id) >= eval_from for g in grams(r.text)}
+    want = {}
+    for r in rows:
+        if _bucket(r.doc_id) >= eval_from:
+            continue
+        gs = grams(r.text)
+        hits = sum(1 for g in gs if g in ev)
+        if hits >= 1:
+            want[r.doc_id] = (hits, len(gs), hits * 1_000_000 // len(gs))
+    got = curation.decontaminate(_docs(spark), n=n, eval_from_ppm=eval_from).collect()
+    assert {r.doc_id: (r.hit_grams, r.n_grams, r.contam_ppm) for r in got} == want
+    # eval docs are NEVER in the output, and the ratio is a true fraction
+    for r in got:
+        assert _bucket(r.doc_id) < eval_from
+        assert 0 < r.contam_ppm <= 1_000_000
+
+
+def test_repetition_scores_matches_python_twin(spark):
+    docs = _docs(spark).limit(40)
+    rows = docs.collect()
+    want = {}
+    for r in rows:
+        w = r.text.split(" ")
+        g2 = [" ".join(w[j : j + 2]) for j in range(max(len(w) - 2, 0) + 1)]
+        g3 = [" ".join(w[j : j + 3]) for j in range(max(len(w) - 3, 0) + 1)]
+        c2: dict[str, int] = {}
+        for g in g2:
+            c2[g] = c2.get(g, 0) + 1
+        top_gram, top_cnt = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        c3: dict[str, int] = {}
+        for g in g3:
+            c3[g] = c3.get(g, 0) + 1
+        dup_pos = sum(c for c in c3.values() if c >= 2)
+        want[r.doc_id] = (
+            top_gram,
+            top_cnt * 1_000_000 // len(g2),
+            dup_pos * 1_000_000 // len(g3),
+        )
+    got = {
+        r.doc_id: (r.top_2gram, r.top2gram_ppm, r.dup3gram_ppm)
+        for r in textstats.repetition_scores(docs).collect()
+    }
+    assert got == want
+
+
+def test_decontaminate_plan_is_broadcast_probe(spark):
+    """The training side (the ~95% of grams) must never shuffle for the
+    probe: the eval gram set broadcasts, and there is no nested-loop or
+    sort-merge join anywhere in the plan."""
+    plan = (
+        curation.decontaminate(_docs(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # broadcast_eval=False must hand the choice back to AQE (no hint)
+    plan_off = (
+        curation.decontaminate(_docs(spark), broadcast_eval=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan_off
+
+
+def test_repetition_scores_degenerate_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "b c d e f g")], ["doc_id", "text"]
+    )
+    by = {r.doc_id: r for r in textstats.repetition_scores(df).collect()}
+    # pure repetition saturates both signals; all-unique text zeroes dup3
+    assert by[1].top2gram_ppm == 1_000_000 and by[1].dup3gram_ppm == 1_000_000
+    assert by[2].dup3gram_ppm == 0 and by[2].top2gram_ppm == 1_000_000 // 5
