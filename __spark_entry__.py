@@ -57,6 +57,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # ExactSubstr-style signal: per-doc token coverage by word k-grams
+        # shared with other documents (interval-union window, no row blowup)
+        "dup_span_coverage": lambda s, d: dedup.crossdoc_span_coverage(
+            dedup.docs_table(s, d)
+        ),
+        # Gopher-rule composite keep/drop filter with named violation reasons
+        "curation_quality_gate": lambda s, d: curation.quality_gate(
+            dedup.docs_table(s, d)
+        ),
         # test-set decontamination: training docs sharing word n-grams with
         # the held-out eval stratum (broadcast-probe shape)
         "curation_decontam": lambda s, d: curation.decontaminate(
@@ -257,4 +266,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_pack": oracle_extra.pack_sequences_sql(),
         "curation_decontam": oracle_extra.decontaminate_sql(),
         "text_repetition": oracle_extra.repetition_sql(),
+        "dup_span_coverage": oracle_extra.crossdoc_span_sql(),
+        "curation_quality_gate": oracle_extra.quality_gate_sql(),
     }

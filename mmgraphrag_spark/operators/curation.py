@@ -221,6 +221,80 @@ def decontaminate(
     )
 
 
+# Gopher-style gate thresholds (Rae et al. 2021 §A1.1, adapted): each is a
+# named rule so the emitted `reasons` string is machine-actionable
+GATE_MIN_TOKENS = 20
+GATE_MAX_TOKENS = 100_000
+GATE_MIN_AVG_TOKEN_LEN_PPM = 3_000_000   # mean token length >= 3 chars
+GATE_MAX_AVG_TOKEN_LEN_PPM = 10_000_000  # mean token length <= 10 chars
+GATE_MIN_DISTINCT_PPM = 300_000          # >= 30% distinct tokens
+GATE_MAX_TOP2GRAM_PPM = 180_000          # top 2-gram claims <= 18% of positions
+GATE_MAX_DUP3GRAM_PPM = 100_000          # <= 10% positions in repeated 3-grams
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stopword_ppm, distinct_ratio_ppm, top2gram_ppm,
+    dup3gram_ppm, keep, reasons): the composite keep/drop quality filter a
+    pretraining corpus runs (Gopher rules, Rae et al. 2021, adapted): length
+    window, mean-token-length window, must-contain-stopwords, lexical
+    diversity floor, and the two repetition ceilings from
+    :func:`textstats.repetition_scores`. ``keep`` is 0/1; ``reasons`` is the
+    comma-joined list of violated rule names ('' when kept) so downstream
+    re-curation can re-admit by rule, not by re-scoring.
+
+    Shape at scale: the per-row signals are flat codegen expressions over
+    one scan; the repetition signals join on doc_id (co-partitioned with the
+    gate's own groupBy-free side — one shuffle each side of a hash join, or
+    broadcast when the corpus slice is small). No Python anywhere.
+    """
+    from . import textstats
+
+    w = F.split("text", " ")
+    n = F.size(w)
+    n_stop = textstats._count_in_list(w, textstats.STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (n_stop * F.lit(1_000_000)).cast("long").alias("_stop_num"),
+        (F.size(F.array_distinct(w)) * F.lit(1_000_000)).cast("long").alias("_dist_num"),
+        F.expr(
+            "(length(text) - size(split(text, ' ')) + 1)"
+            " * 1000000L div size(split(text, ' '))"
+        ).alias("_avg_len_ppm"),
+    ).selectExpr(
+        "doc_id", "n_tokens",
+        "_stop_num div n_tokens AS stopword_ppm",
+        "_dist_num div n_tokens AS distinct_ratio_ppm",
+        "_avg_len_ppm",
+    )
+    rep = textstats.repetition_scores(docs).select(
+        "doc_id", "top2gram_ppm", "dup3gram_ppm"
+    )
+    rules = [
+        ("too_short", f"n_tokens < {GATE_MIN_TOKENS}"),
+        ("too_long", f"n_tokens > {GATE_MAX_TOKENS}"),
+        (
+            "bad_token_len",
+            f"_avg_len_ppm < {GATE_MIN_AVG_TOKEN_LEN_PPM}"
+            f" OR _avg_len_ppm > {GATE_MAX_AVG_TOKEN_LEN_PPM}",
+        ),
+        ("no_stopwords", "stopword_ppm = 0"),
+        ("low_diversity", f"distinct_ratio_ppm < {GATE_MIN_DISTINCT_PPM}"),
+        ("top2gram", f"top2gram_ppm > {GATE_MAX_TOP2GRAM_PPM}"),
+        ("dup3gram", f"dup3gram_ppm > {GATE_MAX_DUP3GRAM_PPM}"),
+    ]
+    reason_cols = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in rules
+    )
+    return base.join(rep, "doc_id").selectExpr(
+        "doc_id", "n_tokens", "stopword_ppm", "distinct_ratio_ppm",
+        "top2gram_ppm", "dup3gram_ppm",
+        f"CASE WHEN {' OR '.join(c for _, c in rules)} THEN 0L ELSE 1L END"
+        " AS keep",
+        f"concat_ws(',', {reason_cols}) AS reasons",
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = 256, shards: int = 8) -> DataFrame:
     """(doc_id, shard, n_tokens, seq_id, offset_tokens): concat-and-chunk
     sequence packing — within each shard, documents concatenate in doc_id

@@ -454,6 +454,90 @@ def ngram_jaccard_pairs(
     ).select("a", "b", "jaccard_pm")
 
 
+# ---- cross-document span coverage (ExactSubstr-style signal) ----------------
+
+
+def crossdoc_span_coverage(
+    docs: DataFrame, k: int = 8, min_docs: int = 2, max_df: int = 100_000
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_starts, covered_tokens, dup_ppm): per-document
+    fraction of token positions covered by word ``k``-grams that also occur
+    in at least ``min_docs - 1`` OTHER documents — the signal behind
+    exact-substring deduplication (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): long verbatim spans shared across
+    documents are boilerplate/mirrored text a pretraining corpus wants cut,
+    and a doc's ``dup_ppm`` is the budget such a cut would reclaim.
+
+    Exact interval-union semantics with NO k-times row blowup: duplicated
+    gram START positions per doc are sorted once, and each start contributes
+    ``least(k, j - lag(j))`` covered tokens (the lag window collapses
+    overlapping [j, j+k) intervals exactly). Docs shorter than ``k`` tokens
+    have no k-gram and report zero coverage; every doc emits a row.
+
+    Shape at scale: explode fixed-width md5 gram keys (generator — no
+    shuffle) -> groupBy(gram) distinct-doc count with map-side partial
+    aggregation -> left_semi join the occurrences against the duplicated
+    grams (co-partitioned on the gram key; ``max_df`` drops degenerate
+    boilerplate grams whose posting lists exceed it, same hub guard as
+    :func:`ngram_jaccard_pairs`) -> one per-doc window + one groupBy(doc_id).
+    Everything is linear in corpus token count.
+    """
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(w) >= {k} THEN"
+            f" transform(sequence(0, size(w) - {k}),"
+            f"  j -> struct(j, md5(concat_ws(' ', slice(w, j + 1, {k}))) AS g))"
+            f" ELSE array() END"
+        ).alias("grams"),
+    )
+    occ = base.select("doc_id", F.explode("grams").alias("o")).select(
+        "doc_id", F.col("o.j").alias("j"), F.col("o.g").alias("g")
+    )
+    dup_grams = (
+        occ.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= min_docs) & (F.col("df") <= max_df))
+        .select("g")
+    )
+    lagw = Window.partitionBy("doc_id").orderBy("j")
+    covered = (
+        occ.join(dup_grams, "g", "left_semi")
+        .withColumn("prev", F.lag("j").over(lagw))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("prev").isNull(), F.lit(k).cast("long")
+            ).otherwise(
+                F.least(F.lit(k).cast("long"), F.col("j") - F.col("prev"))
+            ).alias("add"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_starts"),
+            F.sum("add").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("dup_starts", F.lit(0).cast("long")).alias("dup_starts"),
+            F.coalesce("covered_tokens", F.lit(0).cast("long")).alias(
+                "covered_tokens"
+            ),
+            F.expr(
+                "coalesce(covered_tokens, 0L) * 1000000L div n_tokens"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
 # ---- near-duplicate cluster collapse ---------------------------------------
 
 

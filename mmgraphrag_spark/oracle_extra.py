@@ -608,6 +608,136 @@ FROM top2 t JOIN sz s USING (doc_id) JOIN dup3 d3 USING (doc_id)
 """
 
 
+def crossdoc_span_sql(n: int = 8, min_docs: int = 2, max_df: int = 100_000) -> str:
+    """Twin of dedup.crossdoc_span_coverage: cross-document duplicated
+    k-gram interval-union coverage per doc, exact integers."""
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, u.o.j AS j, u.o.g AS g FROM (
+    SELECT doc_id,
+           CASE WHEN len(w) >= {n} THEN
+             [{{'j': j,
+                'g': md5(array_to_string(list_slice(w, j + 1, j + {n}), ' '))}}
+              for j in range(len(w) - {n} + 1)]
+           ELSE [] END AS os
+    FROM d), UNNEST(os) AS u(o)
+),
+dup AS (
+  SELECT g FROM occ GROUP BY g
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+     AND count(DISTINCT doc_id) <= {max_df}
+),
+hit AS (SELECT doc_id, j FROM occ WHERE g IN (SELECT g FROM dup)),
+cov AS (
+  SELECT doc_id, count(*) AS dup_starts,
+         SUM(CASE WHEN prev IS NULL THEN {n}
+                  ELSE least({n}, j - prev) END) AS covered
+  FROM (SELECT doc_id, j,
+               lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        FROM hit)
+  GROUP BY doc_id
+),
+sz AS (SELECT doc_id, len(w) AS n_tokens FROM d)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.dup_starts, 0) AS BIGINT) AS dup_starts,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(COALESCE(c.covered, 0) * 1000000 // s.n_tokens AS BIGINT) AS dup_ppm
+FROM sz s LEFT JOIN cov c USING (doc_id)
+"""
+
+
+def quality_gate_sql() -> str:
+    """Twin of curation.quality_gate: Gopher-rule composite filter with
+    named violation reasons."""
+    from .operators.curation import (
+        GATE_MAX_DUP3GRAM_PPM,
+        GATE_MAX_TOKENS,
+        GATE_MAX_TOP2GRAM_PPM,
+        GATE_MAX_AVG_TOKEN_LEN_PPM,
+        GATE_MIN_AVG_TOKEN_LEN_PPM,
+        GATE_MIN_DISTINCT_PPM,
+        GATE_MIN_TOKENS,
+    )
+    from .operators.textstats import STOPWORDS
+
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS)
+    rules = [
+        ("too_short", f"n_tokens < {GATE_MIN_TOKENS}"),
+        ("too_long", f"n_tokens > {GATE_MAX_TOKENS}"),
+        (
+            "bad_token_len",
+            f"avg_len_ppm < {GATE_MIN_AVG_TOKEN_LEN_PPM}"
+            f" OR avg_len_ppm > {GATE_MAX_AVG_TOKEN_LEN_PPM}",
+        ),
+        ("no_stopwords", "stopword_ppm = 0"),
+        ("low_diversity", f"distinct_ratio_ppm < {GATE_MIN_DISTINCT_PPM}"),
+        ("top2gram", f"top2gram_ppm > {GATE_MAX_TOP2GRAM_PPM}"),
+        ("dup3gram", f"dup3gram_ppm > {GATE_MAX_DUP3GRAM_PPM}"),
+    ]
+    reason_cols = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in rules
+    )
+    any_bad = " OR ".join(c for _, c in rules)
+    return f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         len(list_filter(w, x -> x IN ({lst}))) * 1000000::BIGINT // len(w)
+           AS stopword_ppm,
+         len(list_distinct(w)) * 1000000::BIGINT // len(w)
+           AS distinct_ratio_ppm,
+         (length(text) - len(w) + 1) * 1000000::BIGINT // len(w)
+           AS avg_len_ppm
+  FROM d
+),
+g2 AS (
+  SELECT doc_id, u.g AS gram FROM (
+    SELECT doc_id,
+           [array_to_string(list_slice(w, j + 1, j + 2), ' ')
+            for j in range(greatest(len(w) - 2, 0) + 1)] AS gs
+    FROM d), UNNEST(gs) AS u(g)
+),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+top2 AS (
+  SELECT doc_id, cnt FROM (
+    SELECT doc_id, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram ASC) AS rn
+    FROM c2) WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id, u.g AS gram FROM (
+    SELECT doc_id,
+           [array_to_string(list_slice(w, j + 1, j + 3), ' ')
+            for j in range(greatest(len(w) - 3, 0) + 1)] AS gs
+    FROM d), UNNEST(gs) AS u(g)
+),
+c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+dup3 AS (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0) AS dup_pos,
+         SUM(cnt) AS tot3
+  FROM c3 GROUP BY doc_id
+),
+sz AS (SELECT doc_id, greatest(len(w) - 2, 0) + 1 AS tot2 FROM d),
+rep AS (
+  SELECT t.doc_id,
+         CAST(t.cnt * 1000000 // s.tot2 AS BIGINT) AS top2gram_ppm,
+         CAST(d3.dup_pos * 1000000 // d3.tot3 AS BIGINT) AS dup3gram_ppm
+  FROM top2 t JOIN sz s USING (doc_id) JOIN dup3 d3 USING (doc_id)
+),
+j AS (SELECT * FROM base JOIN rep USING (doc_id))
+SELECT doc_id, n_tokens, stopword_ppm, distinct_ratio_ppm,
+       top2gram_ppm, dup3gram_ppm,
+       CAST(CASE WHEN {any_bad} THEN 0 ELSE 1 END AS BIGINT) AS keep,
+       concat_ws(',', {reason_cols}) AS reasons
+FROM j
+"""
+
+
 def pack_sequences_sql(budget: int = 256, shards: int = 8) -> str:
     """Twin of curation.pack_sequences: per-shard running token sum in
     doc_id order, cut into fixed-budget sequences."""

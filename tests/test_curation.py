@@ -188,3 +188,53 @@ def test_repetition_scores_degenerate_bounds(spark):
     # pure repetition saturates both signals; all-unique text zeroes dup3
     assert by[1].top2gram_ppm == 1_000_000 and by[1].dup3gram_ppm == 1_000_000
     assert by[2].dup3gram_ppm == 0 and by[2].top2gram_ppm == 1_000_000 // 5
+
+
+def test_quality_gate_rules(spark):
+    """Each named rule fires on a crafted violator and the keep bit is the
+    conjunction of all rules."""
+    good = "the quick brown fox jumps over a lazy dog and then runs to the " \
+           "green hill where it rests in warm sun for a while longer today"
+    df = spark.createDataFrame(
+        [
+            (1, good),                                   # passes everything
+            (2, "the a of and to in is"),                # too_short
+            (3, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"),  # no_stopwords
+            (4, "the " + "spark " * 30 + "end"),         # low_diversity + repetition
+        ],
+        ["doc_id", "text"],
+    )
+    by = {r.doc_id: r for r in curation.quality_gate(df).collect()}
+    assert by[1].keep == 1 and by[1].reasons == ""
+    assert by[2].keep == 0 and "too_short" in by[2].reasons
+    assert by[3].keep == 0 and "no_stopwords" in by[3].reasons
+    assert by[4].keep == 0 and "low_diversity" in by[4].reasons
+    assert "top2gram" in by[4].reasons and "dup3gram" in by[4].reasons
+    # keep <=> no reasons; reasons only from the documented rule names
+    names = {"too_short", "too_long", "bad_token_len", "no_stopwords",
+             "low_diversity", "top2gram", "dup3gram"}
+    for r in by.values():
+        assert (r.keep == 1) == (r.reasons == "")
+        assert set(r.reasons.split(",")) - {""} <= names
+
+
+def test_quality_gate_consistent_with_signals(spark):
+    """On the fixed corpus the gate's keep bit re-derives from its own
+    emitted signal columns — the rules are a pure function of the row."""
+    rows = curation.quality_gate(dedup.docs_table(spark, SF_TINY)).collect()
+    assert any(r.keep == 0 for r in rows) and any(r.keep == 1 for r in rows)
+    for r in rows:
+        bad = (
+            r.n_tokens < curation.GATE_MIN_TOKENS
+            or r.n_tokens > curation.GATE_MAX_TOKENS
+            or r.stopword_ppm == 0
+            or r.distinct_ratio_ppm < curation.GATE_MIN_DISTINCT_PPM
+            or r.top2gram_ppm > curation.GATE_MAX_TOP2GRAM_PPM
+            or r.dup3gram_ppm > curation.GATE_MAX_DUP3GRAM_PPM
+        )
+        # avg token len is not emitted; re-derive the one rule it gates
+        assert r.keep in (0, 1)
+        if bad:
+            assert r.keep == 0
+        elif r.keep == 0:
+            assert r.reasons == "bad_token_len"

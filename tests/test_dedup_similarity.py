@@ -366,3 +366,64 @@ def test_duplicate_clusters_matches_union_find_on_random_graph(spark):
         for r in duplicate_clusters(docs, pairs=pairs).collect()
     }
     assert got == want
+
+
+def test_crossdoc_span_coverage_matches_python_twin(spark):
+    """Interval-union coverage vs a brute-force position-set twin on the
+    fixed corpus — the window-lag trick must equal the naive union."""
+    import hashlib
+
+    k = 8
+    docs = dedup.docs_table(spark, SF_TINY)
+    rows = docs.collect()
+
+    def grams(text):
+        w = text.split(" ")
+        return [
+            hashlib.md5(" ".join(w[j : j + k]).encode()).hexdigest()
+            for j in range(len(w) - k + 1)
+        ] if len(w) >= k else []
+
+    by_doc = {r.doc_id: grams(r.text) for r in rows}
+    df_docs: dict[str, set] = {}
+    for d, gs in by_doc.items():
+        for g in set(gs):
+            df_docs.setdefault(g, set()).add(d)
+    dup = {g for g, ds in df_docs.items() if len(ds) >= 2}
+    want = {}
+    for r in rows:
+        gs = by_doc[r.doc_id]
+        starts = [j for j, g in enumerate(gs) if g in dup]
+        covered = set()
+        for j in starts:
+            covered.update(range(j, j + k))
+        n_tok = len(r.text.split(" "))
+        want[r.doc_id] = (
+            n_tok, len(starts), len(covered),
+            len(covered) * 1_000_000 // n_tok,
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_starts, r.covered_tokens, r.dup_ppm)
+        for r in dedup.crossdoc_span_coverage(docs, k=k).collect()
+    }
+    assert got == want
+
+
+def test_crossdoc_span_coverage_interval_union(spark):
+    """Overlapping duplicated spans within one doc count each position once:
+    two docs share a 9-token run -> two overlapping 8-gram starts covering
+    exactly 9 tokens, not 16."""
+    shared = "q w e r t y u i o"  # 9 tokens -> 2 dup 8-gram starts
+    df = spark.createDataFrame(
+        [
+            (1, shared + " z1 z2 z3"),
+            (2, shared + " y1 y2 y3"),
+            (3, "totally different words here with no shared run at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    by = {r.doc_id: r for r in dedup.crossdoc_span_coverage(df, k=8).collect()}
+    assert by[1].dup_starts == 2 and by[1].covered_tokens == 9
+    assert by[2].dup_starts == 2 and by[2].covered_tokens == 9
+    assert by[3].dup_starts == 0 and by[3].covered_tokens == 0 and by[3].dup_ppm == 0
+    assert by[1].dup_ppm == 9 * 1_000_000 // 12
