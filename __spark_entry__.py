@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # interleaved multimodal sequence packing: text spans cost tokens,
+        # media spans a fixed placeholder budget; one running-sum window
+        "mm_pack_interleaved": lambda s, d: curation.pack_interleaved(
+            api.spans(s, d)
+        ),
         # ExactSubstr-style signal: per-doc token coverage by word k-grams
         # shared with other documents (interval-union window, no row blowup)
         "dup_span_coverage": lambda s, d: dedup.crossdoc_span_coverage(
@@ -268,4 +273,5 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": oracle_extra.repetition_sql(),
         "dup_span_coverage": oracle_extra.crossdoc_span_sql(),
         "curation_quality_gate": oracle_extra.quality_gate_sql(),
+        "mm_pack_interleaved": oracle_extra.pack_interleaved_sql(),
     }

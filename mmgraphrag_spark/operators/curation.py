@@ -329,6 +329,54 @@ def pack_sequences(docs: DataFrame, budget: int = 256, shards: int = 8) -> DataF
     )
 
 
+def pack_interleaved(
+    spans: DataFrame, budget: int = 512, image_tokens: int = 64, shards: int = 8
+) -> DataFrame:
+    """(doc_id, span_offset, kind, media_ref, shard, cost_tokens, seq_id,
+    offset_tokens): sequence packing for INTERLEAVED text+media documents —
+    the layout step for multimodal pretraining (Flamingo / MM1 style):
+    text spans cost their token count, each media span costs a fixed
+    ``image_tokens`` placeholder budget (the visual-embedding slots the
+    model reserves per image), and the interleaved span stream concatenates
+    in (doc_id, span offset) order within each shard, cut into fixed
+    ``budget``-token training sequences. A span belongs to the sequence
+    where it STARTS (same straddle contract as :func:`pack_sequences`).
+
+    Same scale shape as :func:`pack_sequences`: ONE running-sum window per
+    shard (streaming, no buffering); ``shards`` is the write-parallelism
+    knob. The shard key parses the synthesizer's ``doc<N>`` id back to its
+    numeric suffix (deterministic, engine-portable); production swaps any
+    stable integer doc key in.
+    """
+    cost = F.when(
+        F.col("kind") == "image", F.lit(image_tokens).cast("long")
+    ).otherwise(F.size(F.split("text", " ")).cast("long"))
+    base = spans.select(
+        "doc_id",
+        F.col("offset").alias("span_offset"),
+        "kind", "media_ref",
+        F.expr(f"pmod(cast(substring(doc_id, 4) as bigint), {shards})").alias(
+            "shard"
+        ),
+        cost.alias("cost_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "span_offset")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "start", F.coalesce(F.sum("cost_tokens").over(w), F.lit(0).cast("long"))
+        )
+        .select(
+            "doc_id", "span_offset", "kind", "media_ref", "shard", "cost_tokens",
+            F.expr(f"start div {budget}").alias("seq_id"),
+            F.expr(f"start % {budget}").alias("offset_tokens"),
+        )
+    )
+
+
 def docs_table(spark, sf_dir: str) -> DataFrame:
     """The full documents relation (dedup.docs_table keeps only id+text)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(

@@ -738,6 +738,32 @@ FROM j
 """
 
 
+def pack_interleaved_sql(
+    budget: int = 512, image_tokens: int = 64, shards: int = 8
+) -> str:
+    """Twin of curation.pack_interleaved: interleaved text+media packing
+    over the spans relation (oracle.py's shared CTE prefix)."""
+    from .oracle import q
+
+    return q(f"""
+SELECT doc_id, span_offset, kind, media_ref, shard, cost_tokens,
+       CAST(start // {budget} AS BIGINT) AS seq_id,
+       CAST(start % {budget} AS BIGINT) AS offset_tokens
+FROM (
+  SELECT doc_id, span_offset, kind, media_ref, shard, cost_tokens,
+         COALESCE(SUM(cost_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id, span_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM (
+    SELECT doc_id, "offset" AS span_offset, kind, media_ref,
+           CAST(substr(doc_id, 4) AS BIGINT) % {shards} AS shard,
+           CAST(CASE WHEN kind = 'image' THEN {image_tokens}
+                     ELSE len(string_split(text, ' ')) END AS BIGINT)
+             AS cost_tokens
+    FROM spans))
+""")
+
+
 def pack_sequences_sql(budget: int = 256, shards: int = 8) -> str:
     """Twin of curation.pack_sequences: per-shard running token sum in
     doc_id order, cut into fixed-budget sequences."""

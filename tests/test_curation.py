@@ -238,3 +238,39 @@ def test_quality_gate_consistent_with_signals(spark):
             assert r.keep == 0
         elif r.keep == 0:
             assert r.reasons == "bad_token_len"
+
+
+def test_pack_interleaved_matches_python_twin(spark):
+    """Interleaved packing vs a per-shard running-sum twin: media spans
+    cost exactly image_tokens, text spans their token count, order is
+    (doc_id, span offset) within the shard."""
+    from mmgraphrag_spark import api
+
+    budget, img, shards = 512, 64, 8
+    spans = api.spans(spark, SF_TINY)
+    rows = spans.collect()
+    cost = {}
+    for r in rows:
+        c = img if r.kind == "image" else len(r.text.split(" "))
+        cost[(r.doc_id, r.offset)] = (r.kind, r.media_ref, c)
+    run = {s: 0 for s in range(shards)}
+    want = {}
+    for (doc_id, off) in sorted(cost):
+        kind, ref, c = cost[(doc_id, off)]
+        s = int(doc_id[3:]) % shards
+        start = run[s]
+        run[s] += c
+        want[(doc_id, off)] = (kind, ref, s, c, start // budget, start % budget)
+    got = {
+        (r.doc_id, r.span_offset): (
+            r.kind, r.media_ref, r.shard, r.cost_tokens, r.seq_id,
+            r.offset_tokens,
+        )
+        for r in curation.pack_interleaved(
+            spans, budget=budget, image_tokens=img, shards=shards
+        ).collect()
+    }
+    assert got == want
+    assert any(k == "image" for k, *_ in got.values())  # media really packed
+    for _, _, _, c, _, off in got.values():
+        assert 0 <= off < budget and c > 0
