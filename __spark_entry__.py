@@ -28,7 +28,7 @@ from dataclasses import replace  # noqa: E402
 
 from mmgraphrag_spark import api, oracle, oracle_extra, synth  # noqa: E402
 from mmgraphrag_spark.config import DEFAULT  # noqa: E402
-from mmgraphrag_spark.operators import curation, dedup, similarity, textstats  # noqa: E402
+from mmgraphrag_spark.operators import curation, dedup, events, similarity, textstats  # noqa: E402
 from mmgraphrag_spark.sources import docx, mineru, pdf  # noqa: E402
 
 # S3 media-context word radius for the driver query (reference default is
@@ -57,6 +57,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # gap sessionization over the events table: the batch twin of a
+        # stateful streaming sessionizer (lag flag + running sum, one
+        # exchange on user_id)
+        "events_sessions": lambda s, d: events.sessionize(
+            events.events_table(s, d)
+        ),
+        # tumbling-window rollup (counts, distinct users, exact cent sums):
+        # the batch twin of the watermarked streaming aggregation
+        "events_tumbling": lambda s, d: events.tumbling_rollup(
+            events.events_table(s, d)
+        ),
         # interleaved multimodal sequence packing: text spans cost tokens,
         # media spans a fixed placeholder budget; one running-sum window
         "mm_pack_interleaved": lambda s, d: curation.pack_interleaved(
@@ -274,4 +285,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_coverage": oracle_extra.crossdoc_span_sql(),
         "curation_quality_gate": oracle_extra.quality_gate_sql(),
         "mm_pack_interleaved": oracle_extra.pack_interleaved_sql(),
+        "events_sessions": oracle_extra.sessionize_sql(),
+        "events_tumbling": oracle_extra.tumbling_rollup_sql(),
     }

@@ -738,6 +738,51 @@ FROM j
 """
 
 
+def sessionize_sql(gap_us: int = 1_800_000_000) -> str:
+    """Twin of events.sessionize: gap sessions via lag + running flag sum."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+t AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, event_id, ts_us,
+               lag(ts_us) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS prev_us
+        FROM e)
+),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM t
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_us) AS BIGINT) AS first_us,
+       CAST(max(ts_us) AS BIGINT) AS last_us,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def tumbling_rollup_sql(width_us: int = 3_600_000_000) -> str:
+    """Twin of events.tumbling_rollup: tumbling window counts + cent sums."""
+    return f"""
+SELECT CAST(epoch_us(ts) - epoch_us(ts) % {width_us} AS BIGINT) AS bucket_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def pack_interleaved_sql(
     budget: int = 512, image_tokens: int = 64, shards: int = 8
 ) -> str:

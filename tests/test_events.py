@@ -1,0 +1,82 @@
+"""Event-stream analytics: gap sessionization + tumbling rollup vs
+pure-Python twins and boundary fixtures."""
+
+from __future__ import annotations
+
+import datetime
+
+from conftest import SF_TINY
+
+from mmgraphrag_spark.operators import events as ev
+
+
+def test_sessionize_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    gap = ev.SESSION_GAP_US
+    by_user: dict[int, list] = {}
+    epoch = datetime.datetime(1970, 1, 1)
+    for r in rows:
+        us = int((r.ts - epoch).total_seconds() * 1_000_000 + 0.5)
+        by_user.setdefault(r.user_id, []).append((us, r.event_id))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        idx, prev = 0, None
+        sessions: dict[int, list] = {}
+        for us, _eid in evs:
+            if prev is None or us - prev > gap:
+                idx += 1
+            prev = us
+            sessions.setdefault(idx, []).append(us)
+        for i, uss in sessions.items():
+            want[(u, i)] = (len(uss), min(uss), max(uss), max(uss) - min(uss))
+    got = {
+        (r.user_id, r.session_idx): (
+            r.n_events, r.first_us, r.last_us, r.duration_us
+        )
+        for r in ev.sessionize(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+    assert any(n > 1 for n, *_ in got.values())  # multi-event sessions exist
+
+
+def test_sessionize_gap_boundary(spark):
+    """An inter-event gap of EXACTLY gap_us stays in-session; gap_us + 1
+    starts a new one."""
+    t0 = datetime.datetime(2024, 1, 1)
+    us = lambda n: t0 + datetime.timedelta(microseconds=n)  # noqa: E731
+    gap = 1_000_000
+    df = spark.createDataFrame(
+        [
+            (1, us(0), 7, "a", 0.0, "{}"),
+            (2, us(gap), 7, "a", 0.0, "{}"),          # == gap: same session
+            (3, us(2 * gap + 1), 7, "a", 0.0, "{}"),  # gap+1: new session
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = sorted(
+        (r.session_idx, r.n_events)
+        for r in ev.sessionize(df, gap_us=gap).collect()
+    )
+    assert got == [(1, 2), (2, 1)]
+
+
+def test_tumbling_rollup_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    width = 3_600_000_000
+    epoch = datetime.datetime(1970, 1, 1)
+    want: dict[tuple, list] = {}
+    for r in rows:
+        us = int((r.ts - epoch).total_seconds() * 1_000_000 + 0.5)
+        k = (us - us % width, r.event_type)
+        want.setdefault(k, []).append((r.user_id, round(r.value * 100)))
+    expect = {
+        k: (len(v), len({u for u, _ in v}), sum(c for _, c in v))
+        for k, v in want.items()
+    }
+    got = {
+        (r.bucket_us, r.event_type): (r.n_events, r.n_users, r.sum_value_cents)
+        for r in ev.tumbling_rollup(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == expect
