@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # label-propagation communities over the fused graph: sync LPA,
+        # fixed rounds, deterministic (count desc, label asc) tie-break
+        "kg_communities": api.communities,
+        # SQ8 scalar-quantized ANN: per-dim [min,max] -> uint8 codes (8×
+        # memory shrink), exact integer reconstruction for scoring
+        "ann_sq8_topk": similarity.ann_sq8_topk,
         # gap sessionization over the events table: the batch twin of a
         # stateful streaming sessionizer (lag flag + running sum, one
         # exchange on user_id)
@@ -287,4 +293,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_pack_interleaved": oracle_extra.pack_interleaved_sql(),
         "events_sessions": oracle_extra.sessionize_sql(),
         "events_tumbling": oracle_extra.tumbling_rollup_sql(),
+        "kg_communities": oracle.q(oracle.communities_select()),
+        "ann_sq8_topk": oracle_extra.ann_sq8_topk_sql(),
     }

@@ -235,6 +235,14 @@ def components(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) 
     return graphalgo.connected_components(n, e)
 
 
+def communities(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Label-propagation communities over the fused graph (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.label_propagation(n, e)
+
+
 def qctx_ppr(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     """Personalized PageRank from the query-context seed entities — the
     query-proximity ranking that upgrades degree-only context ordering."""

@@ -335,3 +335,59 @@ def personalized_pagerank(
     return ranks.select(
         F.col("name").alias("entity_name"), F.col("rank").alias("rank_scaled")
     )
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iters: int = 4
+) -> DataFrame:
+    """(entity_name, community): synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the fused graph — community detection at a
+    coarser grain than connected components (which only separate disjoint
+    subgraphs) and far cheaper than the spectral fusion stage (which needs
+    an affinity eigendecomposition per block). Communities feed topic-level
+    context scoping and per-community graph export.
+
+    Deterministic contract (both engines unroll the identical recurrence):
+    label_0(v) = v's own entity_name; each round, label_{i+1}(v) = the most
+    frequent label among v's neighbors, ties broken by lexicographically
+    smallest label; a node with no neighbors keeps its current label.
+    Synchronous LPA can oscillate on bipartite structure, so the FIXED
+    round count is part of the contract rather than a convergence test —
+    the DuckDB twin (`oracle.communities_select`) unrolls the same
+    ``iters`` rounds and the value hash is exact.
+
+    Scale shape: per round one equi-join of the symmetric edge set against
+    the label relation on the source key (O(|E|) shuffle), one
+    map-side-combined count per (node, label) — a hub's repeated labels
+    combine per partition before the exchange — and one per-node argmax
+    window whose partition size is bounded by the node's distinct-neighbor-
+    label count (≤ degree). The symmetric edge relation is referenced by an
+    identical subplan every round, so ReuseExchange collapses it to one
+    shuffle write, as in :func:`pagerank`.
+    """
+    sym = symmetric_edges(edges)
+    labels = nodes.select(
+        F.col("entity_name").alias("name"), F.col("entity_name").alias("lbl")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("name").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iters):
+        counts = (
+            sym.join(
+                labels.select(F.col("name").alias("u"), "lbl"), "u"
+            )
+            .groupBy(F.col("v").alias("name"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("name", F.col("lbl").alias("nbr_lbl"))
+        )
+        labels = labels.join(best, "name", "left").select(
+            "name", F.coalesce("nbr_lbl", F.col("lbl")).alias("lbl")
+        )
+    return labels.select(
+        F.col("name").alias("entity_name"), F.col("lbl").alias("community")
+    )

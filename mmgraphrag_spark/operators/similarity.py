@@ -335,3 +335,75 @@ def ann_ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "dot", "rank_key", "rnk")
     )
+
+
+# ---- SQ8 (scalar-quantized) ANN ----------------------------------------------
+
+
+def sq8_reconstructed(spark, sf_dir: str) -> DataFrame:
+    """(vec_id, q array<long>, n long): 8-bit scalar-quantized embeddings,
+    reconstructed back into the integer-quantized domain.
+
+    The memory scale path for ANN: per dimension, the corpus [min, max]
+    range (one global 1-row aggregate, broadcast) maps each component to a
+    uint8 code ``(x - mn) * 255 div max(mx - mn, 1)`` — 1 byte/dim on disk
+    and in executor memory, 8× smaller than the float64 column and 4×
+    smaller than float32 (FAISS's SQ8 storage layout). Scoring reconstructs
+    ``r = mn + (code * (mx - mn)) div 255`` — all integer, so the DuckDB
+    twin (`oracle_extra.ann_sq8_topk_sql`) matches bit-for-bit, and |r| stays
+    in the same magnitude envelope as the q-scale input, so the shared
+    `_RANK` key needs no overflow rework.
+
+    Scale shape: the stats aggregate is map-side combined into ONE row and
+    broadcast (the same 1-row crossJoin pattern as textstats' corpus
+    aggregates); coding + reconstruction are flat per-dim codegen
+    projections — zero extra exchanges over the base scan.
+    """
+    dims = embedding_dims(spark, sf_dir)
+    qe = quantized_embeddings(spark, sf_dir)
+    stats = qe.agg(
+        *[F.min(F.get("q", i)).alias(f"mn{i}") for i in range(dims)],
+        *[F.max(F.get("q", i)).alias(f"mx{i}") for i in range(dims)],
+    )
+    flat = qe.select(
+        "vec_id", *[F.get("q", i).alias(f"_q{i}") for i in range(dims)]
+    ).crossJoin(F.broadcast(stats))
+    rcols = [
+        F.expr(
+            f"mn{i} + ((((_q{i} - mn{i}) * 255) div greatest(mx{i} - mn{i}, 1))"
+            f" * (mx{i} - mn{i})) div 255"
+        ).cast("long").alias(f"_r{i}")
+        for i in range(dims)
+    ]
+    rec = flat.select("vec_id", *rcols)
+    n = None
+    for i in range(dims):
+        term = F.col(f"_r{i}") * F.col(f"_r{i}")
+        n = term if n is None else n + term
+    return rec.select(
+        "vec_id",
+        F.array(*[F.col(f"_r{i}") for i in range(dims)]).alias("q"),
+        n.alias("n"),
+    )
+
+
+def ann_sq8_topk(
+    spark, sf_dir: str, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """(qid, cid, dot, rank_key, rnk): top-k per query over SQ8-reconstructed
+    vectors — the compressed-storage ANN variant (brute-force scoring shape;
+    compose with lsh_buckets / ivf lists for candidate pruning, the coding is
+    orthogonal to the index). Recall vs the exact path is bounded by the
+    per-dim quantization error (≤ (mx-mn)/255 per component); the pytest
+    yardstick asserts top-1 agreement with ann_bruteforce_topk on the
+    synthetic table.
+    """
+    pairs = _pairs(
+        sq8_reconstructed(spark, sf_dir), n_queries, embedding_dims(spark, sf_dir)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rank_key"), F.asc("cid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "dot", "rank_key", "rnk")
+    )

@@ -1347,6 +1347,41 @@ JOIN ns_deg db ON c.b = db.u
 WHERE c.common * 1000000 // (da.deg + db.deg - c.common) >= {threshold_pm}"""
 
 
+def communities_select(iters: int = 4) -> str:
+    """Twin of operators/graphalgo.label_propagation: synchronous LPA
+    unrolled as one (count, argmax) CTE pair per round. The argmax is a
+    ROW_NUMBER window ordered (count DESC, label ASC) — the identical
+    deterministic tie-break the engine uses — and nodes with no neighbors
+    COALESCE to their previous label, so the value hash is exact at any
+    fixed round count. MATERIALIZED for the same reason as pagerank: each
+    round references the previous relation and the shared edge set."""
+    s = """
+, lp_edges AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+), lp_r0 AS MATERIALIZED (
+  SELECT entity_name AS name, entity_name AS lbl FROM fused_nodes
+)"""
+    for i in range(iters):
+        s += f"""
+, lp_c{i} AS (
+  SELECT e.v AS name, r.lbl, COUNT(*) AS c
+  FROM lp_edges e JOIN lp_r{i} r ON e.u = r.name
+  GROUP BY e.v, r.lbl
+), lp_b{i} AS (
+  SELECT name, lbl FROM (
+    SELECT name, lbl,
+           ROW_NUMBER() OVER (PARTITION BY name ORDER BY c DESC, lbl ASC) AS rn
+    FROM lp_c{i}
+  ) WHERE rn = 1
+), lp_r{i + 1} AS MATERIALIZED (
+  SELECT r.name, COALESCE(b.lbl, r.lbl) AS lbl
+  FROM lp_r{i} r LEFT JOIN lp_b{i} b ON r.name = b.name
+)"""
+    return s + f"\nSELECT name AS entity_name, lbl AS community FROM lp_r{iters}"
+
+
 def enh_nodes_select() -> str:
     return "SELECT entity_name, entity_type, description, source_id FROM enh_nodes"
 

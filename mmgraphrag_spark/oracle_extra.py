@@ -224,6 +224,47 @@ SELECT qid, cid, dot, rank_key, rnk FROM ranked WHERE rnk <= {k}
 """
 
 
+def ann_sq8_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    """Twin of similarity.ann_sq8_topk: per-dim [min,max] stats (zipped
+    parallel UNNESTs -> one ordered list pair), 8-bit code + integer
+    reconstruction inside a list comprehension, then the shared
+    pairs/rank/top-k shape. All-integer => exact hash."""
+    dot = _dot_expr("q.q", "c.q")
+    rank = _RANK_SQL.format(dot="dot")
+    recon = (
+        "[mns[i + 1] + ((((q[i + 1] - mns[i + 1]) * 255)"
+        " // greatest(mxs[i + 1] - mns[i + 1], 1))"
+        " * (mxs[i + 1] - mns[i + 1])) // 255 for i in range(len(q))]"
+    )
+    return f"""
+WITH {_QE},
+sq_stats AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx
+  FROM (SELECT unnest(q) AS x, unnest(range(1, len(q) + 1)) AS i FROM qe)
+  GROUP BY i
+),
+sq_lists AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM sq_stats
+),
+sqn AS (
+  SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n
+  FROM (SELECT vec_id, {recon} AS q FROM qe, sq_lists)
+),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, {dot} AS dot,
+         q.n AS na, c.n AS nb
+  FROM sqn q JOIN sqn c ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT qid, cid, dot, {rank} AS rank_key,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY {rank} DESC, cid ASC) AS rnk
+  FROM pairs
+)
+SELECT qid, cid, dot, rank_key, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
 def _bucket_expr(q: str, table: int, planes: int = 3) -> str:
     bits = []
     for p in range(planes):

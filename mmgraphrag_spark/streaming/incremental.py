@@ -404,3 +404,85 @@ def near_dup_process_batch(
         "overwrite"
     ).parquet(f"{store_path}/{part}")
 
+
+
+def stream_sessions(
+    spark: SparkSession, events_dir: str, gap_us: int = 1_800_000_000
+) -> DataFrame:
+    """Stateful streaming sessionizer (applyInPandasWithState) — the online
+    twin of ``operators/events.sessionize``.
+
+    State per user = the OPEN session (start_us, last_us, n_events,
+    session_idx). Each micro-batch folds the user's new events in event-time
+    order: a gap > ``gap_us`` CLOSES the open session (emitted downstream —
+    append mode) and opens the next. The final open session stays in state —
+    exactly the tail a production sessionizer holds back until the
+    watermark expires it — so emissions are identical no matter how the
+    feed splits into micro-batches, and a restarted query resumes mid-
+    session from the checkpointed state store (tested).
+
+    The fold is VECTORIZED inside each Arrow batch (numpy diff -> cumsum
+    segment ids -> one pandas groupby); Python touches one row per
+    *session*, not per event. Assumes per-user event-time-ordered arrival
+    across micro-batches (the standard sessionizer contract; reorder with a
+    watermarked sort upstream if the feed interleaves).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        parts = [pdf[["ts_us"]] for pdf in pdfs]
+        ts = (
+            pd.concat(parts).sort_values("ts_us")["ts_us"]
+            .to_numpy(dtype="int64")
+        )
+        if state.exists:
+            idx0, start0, last0, n0 = state.get
+            open_sess = [idx0, n0, start0, last0]
+        else:
+            idx0, open_sess = 0, None
+        prev = np.empty_like(ts)
+        prev[1:] = ts[:-1]
+        prev[0] = open_sess[3] if open_sess is not None else ts[0] - gap_us - 1
+        seg = np.cumsum((ts - prev) > gap_us)
+        stats = (
+            pd.DataFrame({"seg": seg, "ts": ts})
+            .groupby("seg")["ts"].agg(["count", "min", "max"]).reset_index()
+        )
+        closed, idx = [], idx0
+        for _seg, cnt, mn, mx in stats.itertuples(index=False):
+            if _seg == 0:
+                open_sess[1] += int(cnt)
+                open_sess[3] = int(mx)
+                continue
+            if open_sess is not None:
+                closed.append(open_sess)
+            idx += 1
+            open_sess = [idx, int(cnt), int(mn), int(mx)]
+        state.update((open_sess[0], open_sess[2], open_sess[3], open_sess[1]))
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["session_idx", "n_events", "first_us", "last_us"]
+            )
+            out.insert(0, "user_id", key[0])
+            out["duration_us"] = out["last_us"] - out["first_us"]
+            yield out
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id long, session_idx long, n_events long, first_us long,"
+            " last_us long, duration_us long"
+        ),
+        stateStructType="idx long, start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -427,3 +427,33 @@ def test_crossdoc_span_coverage_interval_union(spark):
     assert by[2].dup_starts == 2 and by[2].covered_tokens == 9
     assert by[3].dup_starts == 0 and by[3].covered_tokens == 0 and by[3].dup_ppm == 0
     assert by[1].dup_ppm == 9 * 1_000_000 // 12
+
+
+def test_sq8_reconstruction_error_within_per_dim_step(spark):
+    """SQ8 codes reconstruct within one quantization step of the exact
+    integer-quantized component: |r_i - q_i| <= ceil((mx_i - mn_i)/255)."""
+    import numpy as np
+
+    qe = dedup.quantized_embeddings(spark, SF_TINY).toPandas()
+    rec = similarity.sq8_reconstructed(spark, SF_TINY).toPandas()
+    q = np.stack(qe.sort_values("vec_id")["q"].to_numpy())
+    r = np.stack(rec.sort_values("vec_id")["q"].to_numpy())
+    step = np.ceil((q.max(axis=0) - q.min(axis=0)) / 255).astype("int64")
+    assert (np.abs(r - q) <= step + 1).all()
+    # and the code domain really is 8-bit: <=256 distinct reconstructed
+    # values per dimension
+    assert max(len(np.unique(r[:, j])) for j in range(r.shape[1])) <= 256
+
+
+def test_ann_sq8_top1_matches_bruteforce(spark):
+    """The compressed path must agree with the exact path on the nearest
+    neighbor (top-1) for every query on the synthetic table; overall top-k
+    overlap stays high."""
+    bf = similarity.ann_bruteforce_topk(spark, SF_TINY, k=5, n_queries=10).toPandas()
+    sq = similarity.ann_sq8_topk(spark, SF_TINY, k=5, n_queries=10).toPandas()
+    bf1 = bf[bf["rnk"] == 1].set_index("qid")["cid"].to_dict()
+    sq1 = sq[sq["rnk"] == 1].set_index("qid")["cid"].to_dict()
+    assert bf1 == sq1
+    bf_pairs = set(zip(bf["qid"], bf["cid"]))
+    sq_pairs = set(zip(sq["qid"], sq["cid"]))
+    assert len(bf_pairs & sq_pairs) / len(bf_pairs) >= 0.8

@@ -216,3 +216,64 @@ def test_personalized_pagerank_matches_twin_and_localizes(spark):
     assert got["a"] > got["x"] and got["s"] > got["y"]
     # unreachable node holds zero mass (teleport is seed-only)
     assert got["iso"] == 0
+
+
+def _py_lpa(names, undirected_edges, iters=4):
+    """Synchronous LPA, dict-and-loop: most-frequent neighbor label, ties ->
+    lexicographically smallest; no neighbors -> keep current label."""
+    adj: dict[str, set[str]] = {n: set() for n in names}
+    for a, b in undirected_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in names}
+    for _ in range(iters):
+        nxt = {}
+        for v in names:
+            if not adj[v]:
+                nxt[v] = lbl[v]
+                continue
+            freq: dict[str, int] = {}
+            for u in adj[v]:
+                freq[lbl[u]] = freq.get(lbl[u], 0) + 1
+            nxt[v] = min(freq, key=lambda l: (-freq[l], l))
+        lbl = nxt
+    return lbl
+
+
+def test_label_propagation_matches_python_twin(spark):
+    # two dense cliques bridged by one edge + an isolated node: LPA should
+    # give each clique a single label and leave the isolate alone
+    names = ["a1", "a2", "a3", "a4", "b1", "b2", "b3", "b4", "iso"]
+    edges = (
+        [("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"),
+         ("a2", "a4"), ("a3", "a4")]
+        + [("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"),
+           ("b2", "b4"), ("b3", "b4")]
+        + [("a4", "b1")]
+    )
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity_name"]: r["community"]
+        for r in graphalgo.label_propagation(ndf, edf, iters=4).collect()
+    }
+    assert got == _py_lpa(names, edges, iters=4)
+    # structural expectations: clique A converges to one community, the
+    # isolate keeps its own name
+    assert len({got[n] for n in ["a1", "a2", "a3"]}) == 1
+    assert got["iso"] == "iso"
+
+
+def test_label_propagation_tie_break_is_lexicographic_min(spark):
+    # v has exactly two neighbors with distinct labels (count tie) ->
+    # the lexicographically smaller label must win deterministically
+    names = ["m", "x", "z"]
+    edges = [("x", "m"), ("z", "m")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity_name"]: r["community"]
+        for r in graphalgo.label_propagation(ndf, edf, iters=1).collect()
+    }
+    assert got["m"] == "x"
+    assert got == _py_lpa(names, edges, iters=1)

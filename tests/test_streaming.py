@@ -331,3 +331,68 @@ def test_near_dup_gate_micro_batch_replay_is_idempotent(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(f"{out}/admitted").collect()
     } == admitted0
+
+
+def test_stream_sessions_equals_batch_closed_sessions_and_resumes(spark, tmp_path):
+    """Stateful sessionizer: emitted (closed) sessions equal the batch
+    twin's non-final sessions per user — on the first slice of the feed AND
+    after a restart over newly-arrived later events (open sessions straddle
+    the restart via the checkpointed state store)."""
+    from mmgraphrag_spark.operators import events as ev_ops
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sessions_sink")
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    cutoff = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.6) p").first()["p"]
+    first = ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) < cutoff)
+    rest = ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) >= cutoff)
+    assert first.count() > 0 and rest.count() > 0
+    first.write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            incremental.stream_sessions(spark, src)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        try:
+            return (
+                spark.read.parquet(sink).toPandas()
+                .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+            )
+        except Exception:
+            import pandas as pd
+
+            return pd.DataFrame(
+                columns=["user_id", "session_idx", "n_events",
+                         "first_us", "last_us", "duration_us"])
+
+    def batch_closed(df):
+        """Batch twin restricted to CLOSED sessions: drop each user's last
+        (still-open) session."""
+        s = ev_ops.sessionize(df).toPandas()
+        last = s.groupby("user_id")["session_idx"].transform("max")
+        return (
+            s[s["session_idx"] < last]
+            .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+        )
+
+    got1 = drain()
+    want1 = batch_closed(first)
+    assert got1.to_dict("records") == want1.to_dict("records")
+
+    rest.write.mode("append").parquet(src)
+    got2 = drain()
+    want2 = batch_closed(ev)
+    assert got2.to_dict("records") == want2.to_dict("records")
+    # the restart must have CLOSED at least one session that was open in
+    # state at the end of run 1 (i.e. run 2 emitted something new)
+    assert len(got2) > len(got1)
