@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # BM25 retrieval: rarest-terms query set, exact-integer scoring
+        # (raw-ratio idf + integer-cleared tf saturation, k1=1.2 b=0.75)
+        "text_bm25": lambda s, d: textstats.bm25_topk(dedup.docs_table(s, d)),
+        # 2-core of the fused graph: iterative peeling of deg<2 nodes,
+        # converge-early engine vs fixed-unroll oracle (monotone no-ops)
+        "kg_kcore": api.kcore,
         # label-propagation communities over the fused graph: sync LPA,
         # fixed rounds, deterministic (count desc, label asc) tie-break
         "kg_communities": api.communities,
@@ -295,4 +301,6 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": oracle_extra.tumbling_rollup_sql(),
         "kg_communities": oracle.q(oracle.communities_select()),
         "ann_sq8_topk": oracle_extra.ann_sq8_topk_sql(),
+        "text_bm25": oracle_extra.bm25_sql(),
+        "kg_kcore": oracle.q(oracle.kcore_select()),
     }

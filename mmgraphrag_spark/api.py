@@ -243,6 +243,14 @@ def communities(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
     return graphalgo.label_propagation(n, e)
 
 
+def kcore(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """2-core of the fused graph: pendant chains peeled off (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.kcore(n, e)
+
+
 def qctx_ppr(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     """Personalized PageRank from the query-context seed entities — the
     query-proximity ranking that upgrades degree-only context ordering."""

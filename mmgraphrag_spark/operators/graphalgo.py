@@ -391,3 +391,60 @@ def label_propagation(
     return labels.select(
         F.col("name").alias("entity_name"), F.col("lbl").alias("community")
     )
+
+
+def kcore(
+    nodes: DataFrame, edges: DataFrame, k: int = 2, max_rounds: int = 12
+) -> DataFrame:
+    """(entity_name, core_deg): the k-core of the fused graph — the maximal
+    subgraph where every node keeps degree ≥ k after iteratively peeling
+    lower-degree nodes (Seidman 1983). The KG-hygiene counterpart to
+    connected components: the 2-core strips pendant chains (one-mention
+    entities hanging off a hub) so downstream community/centrality passes
+    run on the structurally-supported core, and it is the standard
+    densification filter before triangle-heavy analytics.
+
+    Peeling recurrence (both engines evaluate it identically): round i keeps
+    nodes whose degree in the CURRENT edge set is ≥ k, then restricts edges
+    to kept×kept. The fixpoint is reached when no edge drops; extra rounds
+    are no-ops, so the DuckDB twin (`oracle.kcore_select`) unrolls exactly
+    ``max_rounds`` rounds and hashes the identical surviving relation.
+    ``core_deg`` is each survivor's degree inside the core.
+
+    Scale shape: per round one map-side-combined degree groupBy over the
+    (shrinking) edge set plus two left_semi joins — O(|E|) shuffle rows,
+    never node-pair quadratic; edges localCheckpointed per round to keep
+    the plan flat. Peeling removes ≥1 node per non-converged round and in
+    practice converges in a handful of rounds on power-law graphs; raises
+    RuntimeError if ``max_rounds`` is hit while still changing — same loud
+    non-convergence contract as :func:`connected_components`.
+    """
+    cur = symmetric_edges(edges).localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        nxt = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        n_cur = n_nxt
+    else:
+        raise RuntimeError(
+            f"kcore: peeling did not converge within {max_rounds} rounds"
+        )
+    return (
+        cur.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(F.col("u").alias("entity_name"), "core_deg")
+    )

@@ -223,3 +223,62 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def bm25_topk(docs: DataFrame, k: int = 10, n_query_terms: int = 3) -> DataFrame:
+    """(term, doc_id, tf, df, score_ppm, rnk): BM25 retrieval — for each of
+    ``n_query_terms`` automatically chosen query terms, the top-k documents
+    by an exact-integer BM25 score (k1 = 1.2, b = 0.75).
+
+    Query terms are data-derived and deterministic: the ``n_query_terms``
+    RAREST corpus terms (df asc, term asc) — the high-IDF case retrieval
+    exists for. IDF uses the raw-ratio variant (2·(N−df)+1)·10⁶ div (2·df+1)
+    (the BM25+ idf argument sans log), for the same reason
+    :func:`tfidf_topk` does: a log would put a float in the RANKING where a
+    one-ulp cross-engine divergence flips which docs survive the cut. The
+    tf-saturation factor tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is cleared to
+    integers by multiplying through by 10·total_len (avgdl = total_len/N):
+    sat_ppm = (22·tf·total_len·10⁶) div (10·tf·total_len + 3·total_len +
+    9·dl·N); score_ppm = idf_ppm·sat_ppm div 10⁶. Both engines evaluate the
+    IDENTICAL integer expression, so the DuckDB twin
+    (`oracle_extra.bm25_sql`) hashes bit-for-bit. int64 headroom:
+    22·tf·total_len·10⁶ needs tf·total_len < 4·10¹¹ — fine to ~10⁹ corpus
+    tokens; past that swap the two 10⁶ scale factors for decimal(38,0).
+
+    Shape at scale: tf / df are the same two map-side-combined groupBys as
+    TF-IDF; the query-term set is a tiny global sort-limit broadcast to the
+    tf relation (probe side never shuffles); dl joins on doc_id; the corpus
+    aggregate is a 1-row broadcast (single-row-build BNLJ, the scalar-
+    subquery pattern); the final top-k window partitions by query term.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", F.split("text", " ").alias("w"))
+    toks = base.select("doc_id", F.explode("w").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w")).cast("long").alias("total_len"),
+    )
+    dl = base.select("doc_id", F.size("w").cast("long").alias("dl"))
+    qterms = dfreq.orderBy(F.asc("df"), F.asc("term")).limit(n_query_terms)
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "term", "doc_id", "tf", "df",
+            F.expr(
+                "(((2 * (n_docs - df) + 1) * 1000000L) div (2 * df + 1))"
+                " * ((22 * tf * total_len * 1000000L)"
+                "    div (10 * tf * total_len + 3 * total_len + 9 * dl * n_docs))"
+                " div 1000000L"
+            ).alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1382,6 +1382,35 @@ def communities_select(iters: int = 4) -> str:
     return s + f"\nSELECT name AS entity_name, lbl AS community FROM lp_r{iters}"
 
 
+def kcore_select(k: int = 2, max_rounds: int = 12) -> str:
+    """Twin of operators/graphalgo.kcore: the peeling recurrence unrolled as
+    one (degree-filter, edge-restrict) CTE pair per round. Peeling is
+    monotone — once the fixpoint is reached every further round is a no-op —
+    so unrolling exactly ``max_rounds`` rounds hashes the identical
+    surviving relation as the engine's converge-early loop (the engine
+    raises before returning anything unconverged)."""
+    s = """
+, kc_e0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+)"""
+    for i in range(max_rounds):
+        s += f"""
+, kc_k{i} AS (
+  SELECT u FROM kc_e{i} GROUP BY u HAVING COUNT(*) >= {k}
+), kc_e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM kc_e{i} e
+  JOIN kc_k{i} a ON e.u = a.u
+  JOIN kc_k{i} b ON e.v = b.u
+)"""
+    return (
+        s
+        + f"\nSELECT u AS entity_name, COUNT(*) AS core_deg"
+        f" FROM kc_e{max_rounds} GROUP BY u"
+    )
+
+
 def enh_nodes_select() -> str:
     return "SELECT entity_name, entity_type, description, source_id FROM enh_nodes"
 

@@ -870,3 +870,33 @@ FROM (
   )
 )
 """
+
+
+def bm25_sql(k: int = 10, n_query_terms: int = 3) -> str:
+    """Twin of textstats.bm25_topk: rarest-terms query set, raw-ratio integer
+    IDF, integer-cleared tf saturation (k1=1.2, b=0.75). All-integer => exact
+    hash; `//` on non-negative operands == Spark's `div` here."""
+    score = (
+        "(((2 * (n.n_docs - t.df) + 1) * 1000000) // (2 * t.df + 1))"
+        " * ((22 * t2.tf * n.total_len * 1000000)"
+        "    // (10 * t2.tf * n.total_len + 3 * n.total_len + 9 * l.dl * n.n_docs))"
+        " // 1000000"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (
+  SELECT doc_id, u.t AS term FROM base, UNNEST(w) AS u(t)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS total_len FROM base),
+dls AS (SELECT doc_id, len(w) AS dl FROM base),
+qterms AS (SELECT term, df FROM dfq ORDER BY df ASC, term ASC LIMIT {n_query_terms})
+SELECT term, doc_id, tf, df, score_ppm, rnk FROM (
+  SELECT t2.term, t2.doc_id, t2.tf, t.df, {score} AS score_ppm,
+         ROW_NUMBER() OVER (
+           PARTITION BY t2.term ORDER BY {score} DESC, t2.doc_id ASC
+         ) AS rnk
+  FROM tf t2 JOIN qterms t USING (term) JOIN dls l USING (doc_id), n
+) WHERE rnk <= {k}
+"""

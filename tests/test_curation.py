@@ -274,3 +274,65 @@ def test_pack_interleaved_matches_python_twin(spark):
     assert any(k == "image" for k, *_ in got.values())  # media really packed
     for _, _, _, c, _, off in got.values():
         assert 0 <= off < budget and c > 0
+
+
+def test_bm25_topk_matches_python_twin(spark):
+    docs = dedup.docs_table(spark, SF_TINY).limit(40)
+    rows = docs.collect()
+    n_docs = len(rows)
+    tf: dict[tuple[int, str], int] = {}
+    dfq: dict[str, int] = {}
+    dl: dict[int, int] = {}
+    total_len = 0
+    for r in rows:
+        toks = r.text.split(" ")
+        dl[r.doc_id] = len(toks)
+        total_len += len(toks)
+        seen: dict[str, int] = {}
+        for t in toks:
+            seen[t] = seen.get(t, 0) + 1
+        for t, c in seen.items():
+            tf[(r.doc_id, t)] = c
+            dfq[t] = dfq.get(t, 0) + 1
+    nq, k = 3, 10
+    qterms = sorted(dfq, key=lambda t: (dfq[t], t))[:nq]
+    want = set()
+    for term in qterms:
+        scored = []
+        for (d, t), c in tf.items():
+            if t != term:
+                continue
+            idf = ((2 * (n_docs - dfq[t]) + 1) * 1_000_000) // (2 * dfq[t] + 1)
+            sat = (22 * c * total_len * 1_000_000) // (
+                10 * c * total_len + 3 * total_len + 9 * dl[d] * n_docs
+            )
+            scored.append((-(idf * sat // 1_000_000), d, c))
+        for rnk, (negs, d, c) in enumerate(sorted(scored)[:k], start=1):
+            want.add((term, d, c, dfq[term], -negs, rnk))
+    got = {
+        (r.term, r.doc_id, r.tf, r.df, r.score_ppm, r.rnk)
+        for r in textstats.bm25_topk(docs, k=k, n_query_terms=nq).collect()
+    }
+    assert got == want
+
+
+def test_bm25_rewards_tf_and_penalizes_doc_length(spark):
+    """Saturating tf: higher tf ranks higher at equal length; at equal tf the
+    shorter document ranks higher (b = 0.75 length normalization)."""
+    rows = [
+        (0, "apple " + "pad " * 10, "en", "s", 0),
+        (1, "apple apple " + "pad " * 9, "en", "s", 0),
+        (2, "apple " + "pad " * 40, "en", "s", 0),
+        (3, "pad pad pad", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).select("doc_id", F.rtrim("text").alias("text"), "lang", "source", "n_chars")
+    got = {
+        r.doc_id: (r.rnk, r.score_ppm)
+        for r in textstats.bm25_topk(docs, k=10, n_query_terms=1).collect()
+    }
+    assert set(got) == {0, 1, 2}  # 'apple' is the rarest term; doc 3 unmatched
+    assert got[1][0] == 1  # tf=2 wins
+    assert got[0][0] == 2 and got[2][0] == 3  # equal tf: shorter doc first
+    assert got[0][1] > got[2][1] > 0

@@ -277,3 +277,33 @@ def test_label_propagation_tie_break_is_lexicographic_min(spark):
     }
     assert got["m"] == "x"
     assert got == _py_lpa(names, edges, iters=1)
+
+
+def test_kcore_peels_pendant_chain_keeps_cycle(spark):
+    # triangle (a,b,c) + pendant chain c-d-e + isolated edge x-y:
+    # the 2-core is exactly the triangle; the chain and the stray edge peel
+    names = ["a", "b", "c", "d", "e", "x", "y"]
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: r.core_deg for r in graphalgo.kcore(ndf, edf, k=2).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_raises_when_peeling_exceeds_round_budget(spark):
+    # a path of 2n+1 nodes peels one layer per round from each end: n rounds
+    # to empty — with max_rounds < n the loop must fail loudly, never return
+    # a half-peeled (wrong) subgraph
+    import pytest
+
+    n = 8
+    names = [f"p{i}" for i in range(2 * n + 1)]
+    edges = [(names[i], names[i + 1]) for i in range(2 * n)]
+    ndf = spark.createDataFrame([(x,) for x in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graphalgo.kcore(ndf, edf, k=2, max_rounds=3)
+    # and with budget: the path has an empty 2-core
+    assert graphalgo.kcore(ndf, edf, k=2, max_rounds=12).count() == 0
