@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # as-of join (click->purchase attribution): union + carry-forward
+        # window, ZERO joins, one exchange on user_id
+        "events_asof": lambda s, d: events.asof_join(events.events_table(s, d)),
         # BM25 retrieval: rarest-terms query set, exact-integer scoring
         # (raw-ratio idf + integer-cleared tf saturation, k1=1.2 b=0.75)
         "text_bm25": lambda s, d: textstats.bm25_topk(dedup.docs_table(s, d)),
@@ -303,4 +306,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_sq8_topk": oracle_extra.ann_sq8_topk_sql(),
         "text_bm25": oracle_extra.bm25_sql(),
         "kg_kcore": oracle.q(oracle.kcore_select()),
+        "events_asof": oracle_extra.asof_join_sql(),
     }

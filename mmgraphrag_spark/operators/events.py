@@ -100,3 +100,60 @@ def tumbling_rollup(events: DataFrame, width_us: int = 3_600_000_000) -> DataFra
             F.sum("cents").alias("sum_value_cents"),
         )
     )
+
+
+def asof_join(
+    events: DataFrame, left_type: str = "purchase", right_type: str = "click"
+) -> DataFrame:
+    """(purchase_event_id, user_id, purchase_ts_us, value_cents,
+    click_event_id, click_ts_us, lag_us): as-of join — each ``left_type``
+    event annotated with the user's latest ``right_type`` event at-or-before
+    it (click→purchase attribution; NULL click columns when no prior click
+    exists). The canonical time-series operator Spark has no native form of.
+
+    Implemented as the union + running ``last(..., ignorenulls)`` trick —
+    ZERO joins: tag both sides into one relation, sort per user by
+    (ts_us, side, event_id) with the right side ordered first at equal
+    timestamps (so a same-instant click counts as at-or-before), and carry
+    the right side's columns forward with an unbounded-preceding window;
+    left rows then read their match off their own row. One hash exchange on
+    user_id total — a merge-join-free plan that beats the naive range-join
+    (which Catalyst plans as a broadcast/cartesian range filter) and scales
+    as O(|events|) rows with per-user partitions. Deterministic tie
+    contract: among right events sharing (user_id, ts_us), the largest
+    event_id wins (the window order makes the carry deterministic).
+
+    The DuckDB twin (`oracle_extra.asof_join_sql`) mirrors the identical
+    window construction rather than DuckDB's native ASOF JOIN, pinning the
+    tie-break; all output columns are integers (epoch µs, cents).
+    """
+    ev = events.filter(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.when(F.col("event_type") == left_type, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_ev = F.when(F.col("side") == 0, F.col("event_id"))
+    right_ts = F.when(F.col("side") == 0, F.col("ts_us"))
+    filled = ev.select(
+        "event_id", "user_id", "ts_us", "value_cents", "side",
+        F.last(right_ev, ignorenulls=True).over(w).alias("click_event_id"),
+        F.last(right_ts, ignorenulls=True).over(w).alias("click_ts_us"),
+    )
+    return filled.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "value_cents",
+        "click_event_id",
+        "click_ts_us",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("lag_us"),
+    )

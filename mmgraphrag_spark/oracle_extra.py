@@ -900,3 +900,31 @@ SELECT term, doc_id, tf, df, score_ppm, rnk FROM (
   FROM tf t2 JOIN qterms t USING (term) JOIN dls l USING (doc_id), n
 ) WHERE rnk <= {k}
 """
+
+
+def asof_join_sql(left_type: str = "purchase", right_type: str = "click") -> str:
+    """Twin of events.asof_join: the identical union + carry-forward window
+    (not DuckDB's native ASOF JOIN, whose duplicate-timestamp tie-break is
+    unspecified — the shared window order pins it). All-integer outputs."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         CASE WHEN event_type = '{left_type}' THEN 1 ELSE 0 END AS side
+  FROM events WHERE event_type IN ('{left_type}', '{right_type}')
+),
+filled AS (
+  SELECT event_id, user_id, ts_us, value_cents, side,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w
+           AS click_event_id,
+         last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER w
+           AS click_ts_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_event_id, user_id, ts_us AS purchase_ts_us,
+       value_cents, click_event_id, click_ts_us,
+       ts_us - click_ts_us AS lag_us
+FROM filled WHERE side = 1
+"""

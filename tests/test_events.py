@@ -80,3 +80,65 @@ def test_tumbling_rollup_matches_python_twin(spark):
         for r in ev.tumbling_rollup(ev.events_table(spark, SF_TINY)).collect()
     }
     assert got == expect
+
+
+def test_asof_join_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def us(ts):
+        return int((ts - epoch).total_seconds() * 1_000_000 + 0.5)
+
+    clicks: dict[int, list] = {}
+    for r in rows:
+        if r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append((us(r.ts), r.event_id))
+    want = {}
+    for r in rows:
+        if r.event_type != "purchase":
+            continue
+        pts = us(r.ts)
+        # latest click at-or-before; among equal ts the max event_id wins
+        best = max(
+            (c for c in clicks.get(r.user_id, []) if c[0] <= pts),
+            default=None,
+        )
+        want[r.event_id] = (
+            r.user_id, pts, round(r.value * 100),
+            best[1] if best else None,
+            best[0] if best else None,
+            pts - best[0] if best else None,
+        )
+    got = {
+        r.purchase_event_id: (
+            r.user_id, r.purchase_ts_us, r.value_cents,
+            r.click_event_id, r.click_ts_us, r.lag_us,
+        )
+        for r in ev.asof_join(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+    assert any(v[3] is None for v in got.values()) or len(got) > 0
+
+
+def test_asof_join_same_instant_click_counts_and_ties_break_by_event_id(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # two clicks at the SAME instant, then a purchase at that instant:
+        # the click counts (at-or-before) and the larger event_id wins
+        (1, base, 7, "click", 0.0, ""),
+        (2, base, 7, "click", 0.0, ""),
+        (3, base, 7, "purchase", 1.25, ""),
+        # a purchase with no prior click -> NULL match
+        (4, base, 8, "purchase", 2.50, ""),
+        # later click must NOT attach to the earlier purchase
+        (5, base + datetime.timedelta(hours=1), 8, "click", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.purchase_event_id: r for r in ev.asof_join(df).collect()}
+    assert got[3].click_event_id == 2 and got[3].lag_us == 0
+    assert got[4].click_event_id is None and got[4].lag_us is None
+    assert got[3].value_cents == 125 and got[4].value_cents == 250
