@@ -28,7 +28,7 @@ from dataclasses import replace  # noqa: E402
 
 from mmgraphrag_spark import api, oracle, oracle_extra, synth  # noqa: E402
 from mmgraphrag_spark.config import DEFAULT  # noqa: E402
-from mmgraphrag_spark.operators import curation, dedup, events, similarity, textstats  # noqa: E402
+from mmgraphrag_spark.operators import curation, dedup, events, similarity, sketches, textstats  # noqa: E402
 from mmgraphrag_spark.sources import docx, mineru, pdf  # noqa: E402
 
 # S3 media-context word radius for the driver query (reference default is
@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # deterministic HyperLogLog distinct-users sketch per event type:
+        # md5 registers, integer estimator, exact column shows the error
+        "events_hll": lambda s, d: sketches.hll_distinct(
+            events.events_table(s, d), "event_type", "user_id"
+        ),
         # as-of join (click->purchase attribution): union + carry-forward
         # window, ZERO joins, one exchange on user_id
         "events_asof": lambda s, d: events.asof_join(events.events_table(s, d)),
@@ -307,4 +312,5 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25": oracle_extra.bm25_sql(),
         "kg_kcore": oracle.q(oracle.kcore_select()),
         "events_asof": oracle_extra.asof_join_sql(),
+        "events_hll": oracle_extra.hll_distinct_sql(),
     }

@@ -928,3 +928,43 @@ SELECT event_id AS purchase_event_id, user_id, ts_us AS purchase_ts_us,
        ts_us - click_ts_us AS lag_us
 FROM filled WHERE side = 1
 """
+
+
+def hll_distinct_sql(group_col: str = "event_type", key_col: str = "user_id") -> str:
+    """Twin of sketches.hll_distinct over the events table: identical md5
+    hash, bucket split, capped leading-zero rank, and integer estimator."""
+    from .operators.sketches import ALPHA_PPM, M, RHO_CAP
+
+    return f"""
+WITH hashed AS (
+  SELECT {group_col} AS grp,
+         ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+regs AS (
+  SELECT grp, h % {M} AS j,
+         MAX(least(54 - length(bin(h // {M})), {RHO_CAP})) AS m_j
+  FROM hashed GROUP BY grp, h % {M}
+),
+folded AS (
+  SELECT grp,
+         CAST(SUM(1::BIGINT << ({RHO_CAP} - m_j)) AS BIGINT) AS t_present,
+         COUNT(*) AS v
+  FROM regs GROUP BY grp
+),
+est AS (
+  SELECT grp,
+         (({ALPHA_PPM * M * M * (1 << RHO_CAP)}
+          // (t_present + ({M} - v) * {1 << RHO_CAP}))) // 1000000
+           AS hll_estimate
+  FROM folded
+),
+exact AS (
+  SELECT {group_col} AS grp, COUNT(DISTINCT {key_col}) AS n_exact FROM events
+  GROUP BY {group_col}
+)
+SELECT e.grp AS {group_col}, e.n_exact, s.hll_estimate,
+       abs(s.hll_estimate - e.n_exact) * 1000000 // greatest(e.n_exact, 1)
+         AS err_pm
+FROM exact e JOIN est s ON e.grp = s.grp
+"""

@@ -142,3 +142,44 @@ def test_asof_join_same_instant_click_counts_and_ties_break_by_event_id(spark):
     assert got[3].click_event_id == 2 and got[3].lag_us == 0
     assert got[4].click_event_id is None and got[4].lag_us is None
     assert got[3].value_cents == 125 and got[4].value_cents == 250
+
+
+def test_hll_distinct_matches_python_twin_and_is_accurate(spark):
+    import hashlib
+
+    from mmgraphrag_spark.operators import sketches
+
+    # 3 groups with 50 / 700 / 5000 distinct keys (plus repeats)
+    rows = (
+        [("a", i % 50) for i in range(200)]
+        + [("b", i % 700) for i in range(1400)]
+        + [("c", i) for i in range(5000)]
+    )
+    df = spark.createDataFrame(rows, "grp string, key long")
+    got = {
+        r.grp: (r.n_exact, r.hll_estimate, r.err_pm)
+        for r in sketches.hll_distinct(df, "grp", "key").collect()
+    }
+
+    def twin(keys):
+        regs: dict[int, int] = {}
+        for k in keys:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            j, w = h % sketches.M, h // sketches.M
+            rho = min(54 - len(bin(w)[2:]) if w else 53, sketches.RHO_CAP)
+            regs[j] = max(regs.get(j, 0), rho)
+        t = sum(1 << (sketches.RHO_CAP - m) for m in regs.values()) + (
+            sketches.M - len(regs)
+        ) * (1 << sketches.RHO_CAP)
+        return (
+            sketches.ALPHA_PPM * sketches.M * sketches.M * (1 << sketches.RHO_CAP)
+            // t
+            // 1_000_000
+        )
+
+    assert got["a"][1] == twin(range(50))
+    assert got["b"][1] == twin(range(700))
+    assert got["c"][1] == twin(range(5000))
+    # raw 128-register HLL: relative std ~9.2%; 30% is a >3-sigma bound
+    for g in ("b", "c"):
+        assert got[g][2] < 300_000, (g, got[g])
