@@ -361,14 +361,20 @@ def label_propagation(
     map-side-combined count per (node, label) — a hub's repeated labels
     combine per partition before the exchange — and one per-node argmax
     window whose partition size is bounded by the node's distinct-neighbor-
-    label count (≤ degree). The symmetric edge relation is referenced by an
-    identical subplan every round, so ReuseExchange collapses it to one
-    shuffle write, as in :func:`pagerank`.
+    label count (≤ degree). Unlike :func:`pagerank` (where each round
+    references the rank relation once and ReuseExchange absorbs the rest),
+    every LPA round references the label relation TWICE (the neighbor-count
+    join and the keep-own-label fallback), so an unchecked loop doubles the
+    logical plan per round — 16 copies of the whole upstream subtree at 4
+    rounds (measured 385 s → 38 s cold at the sf0.01 gate, the residue
+    being the one-time fused-graph materialization). Labels are therefore
+    eagerly localCheckpointed per round, the same lineage-flattening
+    contract as :func:`connected_components`.
     """
-    sym = symmetric_edges(edges)
+    sym = symmetric_edges(edges).localCheckpoint(eager=True)
     labels = nodes.select(
         F.col("entity_name").alias("name"), F.col("entity_name").alias("lbl")
-    )
+    ).localCheckpoint(eager=True)
     from pyspark.sql import Window
 
     w = Window.partitionBy("name").orderBy(F.desc("c"), F.asc("lbl"))
@@ -385,8 +391,10 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("name", F.col("lbl").alias("nbr_lbl"))
         )
-        labels = labels.join(best, "name", "left").select(
-            "name", F.coalesce("nbr_lbl", F.col("lbl")).alias("lbl")
+        labels = (
+            labels.join(best, "name", "left")
+            .select("name", F.coalesce("nbr_lbl", F.col("lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
         )
     return labels.select(
         F.col("name").alias("entity_name"), F.col("lbl").alias("community")
