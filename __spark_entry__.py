@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # exact per-group quantiles by integer rank arithmetic (the
+        # percentile_disc definition - approximate/interpolating percentiles
+        # can never pass a cross-engine value-hash gate)
+        "events_quantiles": lambda s, d: events.value_quantiles(
+            events.events_table(s, d)
+        ),
         # deterministic HyperLogLog distinct-users sketch per event type:
         # md5 registers, integer estimator, exact column shows the error
         "events_hll": lambda s, d: sketches.hll_distinct(
@@ -313,4 +319,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": oracle.q(oracle.kcore_select()),
         "events_asof": oracle_extra.asof_join_sql(),
         "events_hll": oracle_extra.hll_distinct_sql(),
+        "events_quantiles": oracle_extra.value_quantiles_sql(),
     }

@@ -157,3 +157,52 @@ def asof_join(
         "click_ts_us",
         (F.col("ts_us") - F.col("click_ts_us")).alias("lag_us"),
     )
+
+
+def value_quantiles(events: DataFrame, quantiles_pm=(500_000, 900_000, 990_000)) -> DataFrame:
+    """(event_type, n, p50_cents, p90_cents, p99_cents): EXACT per-group
+    quantiles of the event value by rank arithmetic — the discrete
+    (``percentile_disc``) definition: the q-quantile is the element at rank
+    ceil(q·n) in the sorted group — computed as the INTEGER ceil-division
+    (n·q + 10⁶−1) div 10⁶, so the rank target is exact at any n (a float
+    ceil drifts by one rank once n·q's ulp exceeds the 10⁻⁶ remainder,
+    around n ~ 10¹²) — and the result is always a real data value, so both
+    engines agree bit-for-bit (interpolating/approximate percentiles are
+    float- and implementation-defined — Spark's ``percentile_approx`` and
+    DuckDB's ``quantile`` would never hash-match).
+
+    One sort exchange per group key: rank with row_number over
+    (value_cents, event_id) — the event_id tiebreak makes the rank total —
+    then pick the rows whose rank hits each target. At 10^12 events this is
+    the same shape as any per-group top-k: hash exchange on event_type,
+    per-partition sort; for few huge groups, swap in range partitioning on
+    (event_type, value_cents) — the quantile targets are rank lookups either
+    way. Ties on value collapse via max() in the pivot (all candidate rows
+    carry the same cents value at a given rank by construction).
+    """
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    n = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    labels = {500_000: "p50_cents", 900_000: "p90_cents", 990_000: "p99_cents"}
+    aggs = [
+        F.max(
+            F.when(
+                F.col("r") == F.expr(f"(n * {q} + 999999) div 1000000"),
+                F.col("cents"),
+            )
+        ).alias(labels.get(q, f"p{q}_cents"))
+        for q in quantiles_pm
+    ]
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"), *aggs
+    )

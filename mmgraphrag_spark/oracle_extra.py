@@ -968,3 +968,30 @@ SELECT e.grp AS {group_col}, e.n_exact, s.hll_estimate,
          AS err_pm
 FROM exact e JOIN est s ON e.grp = s.grp
 """
+
+
+def value_quantiles_sql(quantiles_pm=(500_000, 900_000, 990_000)) -> str:
+    """Twin of events.value_quantiles: identical rank arithmetic (row_number
+    over (cents, event_id), integer ceil-division rank target)."""
+    labels = {500_000: "p50_cents", 900_000: "p90_cents", 990_000: "p99_cents"}
+    aggs = ",\n       ".join(
+        f"MAX(CASE WHEN r = (n * {q} + 999999) // 1000000 THEN cents END)"
+        f" AS {labels.get(q, f'p{q}_cents')}"
+        for q in quantiles_pm
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+)
+SELECT event_type, MAX(n) AS n,
+       {aggs}
+FROM ranked GROUP BY event_type
+"""

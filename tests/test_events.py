@@ -183,3 +183,24 @@ def test_hll_distinct_matches_python_twin_and_is_accurate(spark):
     # raw 128-register HLL: relative std ~9.2%; 30% is a >3-sigma bound
     for g in ("b", "c"):
         assert got[g][2] < 300_000, (g, got[g])
+
+
+def test_value_quantiles_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append((round(r.value * 100), r.event_id))
+    want = {}
+    for g, vals in groups.items():
+        s = [c for c, _ in sorted(vals)]
+        n = len(s)
+        pick = lambda q: s[(n * q + 999_999) // 1_000_000 - 1]
+        want[g] = (n, pick(500_000), pick(900_000), pick(990_000))
+    got = {
+        r.event_type: (r.n, r.p50_cents, r.p90_cents, r.p99_cents)
+        for r in ev.value_quantiles(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+    # sanity: quantiles are ordered and are real data values
+    for g, (_, p50, p90, p99) in got.items():
+        assert p50 <= p90 <= p99
