@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # weight-proportional PageRank: rank mass flows by merged
+        # relationship strength (milli-unit integer weights), not degree
+        "kg_pagerank_weighted": api.pagerank_weighted,
         # exact per-group quantiles by integer rank arithmetic (the
         # percentile_disc definition - approximate/interpolating percentiles
         # can never pass a cross-engine value-hash gate)
@@ -320,4 +323,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": oracle_extra.asof_join_sql(),
         "events_hll": oracle_extra.hll_distinct_sql(),
         "events_quantiles": oracle_extra.value_quantiles_sql(),
+        "kg_pagerank_weighted": oracle.q(oracle.pagerank_weighted_select()),
     }

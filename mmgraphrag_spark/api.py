@@ -243,6 +243,14 @@ def communities(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
     return graphalgo.label_propagation(n, e)
 
 
+def pagerank_weighted(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Weight-proportional PageRank over the fused graph (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.pagerank_weighted(n, e)
+
+
 def kcore(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     """2-core of the fused graph: pendant chains peeled off (graphalgo.py)."""
     from .operators import graphalgo

@@ -456,3 +456,61 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("core_deg"))
         .select(F.col("u").alias("entity_name"), "core_deg")
     )
+
+
+def pagerank_weighted(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """(entity_name, rank_scaled): weight-proportional fixed-point PageRank —
+    the edge-weight upgrade of :func:`pagerank`. The fused graph's edge
+    weight is the reference's merged relationship strength
+    (`/root/reference/mmgraphrag/_op.py` edge merge sums weights), so rank
+    mass should flow proportionally to it rather than uniformly per degree.
+
+    Exact integer contract: weights enter as milli-units
+    w = round(weight·1000) (both engines round the SAME double, computed
+    identically by the fused-edge twins); W(u) = Σ w over u's incident
+    edges; contrib_i(v) = Σ_{u→v} (rank_i(u)·w(u,v)) div W(u); the rank
+    update is identical to :func:`pagerank`. int64 headroom: rank ≤ total
+    mass ~ |V|·scale and w ≤ 10^6-ish keeps rank·w far under 2^63 for
+    10^5-node graphs at the default scale.
+
+    Plan shape mirrors :func:`pagerank` exactly (the r04-audited one): the
+    symmetric weighted edge + weight-sum relation is ONE reused exchange;
+    each round is one equi-join + one map-side-combined sum.
+    """
+    w_mil = F.expr("cast(round(weight * 1000) as long)")
+    wsym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), w_mil.alias("w"))
+        .unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"), w_mil.alias("w"))
+        )
+        .distinct()
+    )
+    wdeg = wsym.groupBy("u").agg(F.sum("w").alias("wsum"))
+    ed = wsym.join(wdeg, "u")
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select(
+        F.col("entity_name").alias("name"), F.lit(scale).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("name", "u"), "u")
+            .select("v", F.expr("(rank * w) div wsum").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = ranks.join(contrib.withColumnRenamed("v", "name"), "name", "left").select(
+            "name",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_pct} * coalesce(contrib, 0L)) div 100")
+            ).alias("rank"),
+        )
+    return ranks.select(
+        F.col("name").alias("entity_name"), F.col("rank").alias("rank_scaled")
+    )

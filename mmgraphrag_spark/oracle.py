@@ -1382,6 +1382,43 @@ def communities_select(iters: int = 4) -> str:
     return s + f"\nSELECT name AS entity_name, lbl AS community FROM lp_r{iters}"
 
 
+def pagerank_weighted_select(
+    iters: int = 5, damping_pct: int = 85, scale: int = 1_000_000_000
+) -> str:
+    """Twin of operators/graphalgo.pagerank_weighted: milli-unit integer
+    weights, weight-proportional contributions, the same unrolled
+    MATERIALIZED recurrence as pagerank_select."""
+    base = (100 - damping_pct) * scale // 100
+    s = f"""
+, wpr_edges AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST(round(weight * 1000) AS BIGINT) AS w
+  FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v, CAST(round(weight * 1000) AS BIGINT) AS w
+  FROM fused_edges
+), wpr_deg AS MATERIALIZED (
+  SELECT u, CAST(SUM(w) AS BIGINT) AS wsum FROM wpr_edges GROUP BY u
+), wpr_r0 AS MATERIALIZED (
+  SELECT entity_name AS name, CAST({scale} AS BIGINT) AS rank FROM fused_nodes
+)"""
+    for i in range(iters):
+        s += f"""
+, wpr_r{i + 1} AS MATERIALIZED (
+  SELECT n.name,
+         CAST({base} AS BIGINT)
+           + CAST(({damping_pct} * COALESCE(s.contrib, 0)) // 100
+                  AS BIGINT) AS rank
+  FROM wpr_r{i} n LEFT JOIN (
+    SELECT e.v AS name, SUM((r.rank * e.w) // d.wsum) AS contrib
+    FROM wpr_edges e
+    JOIN wpr_r{i} r ON e.u = r.name
+    JOIN wpr_deg d ON e.u = d.u
+    GROUP BY e.v
+  ) s ON n.name = s.name
+)"""
+    return s + f"\nSELECT name AS entity_name, rank AS rank_scaled FROM wpr_r{iters}"
+
+
 def kcore_select(k: int = 2, max_rounds: int = 12) -> str:
     """Twin of operators/graphalgo.kcore: the peeling recurrence unrolled as
     one (degree-filter, edge-restrict) CTE pair per round. Peeling is

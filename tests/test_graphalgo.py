@@ -307,3 +307,36 @@ def test_kcore_raises_when_peeling_exceeds_round_budget(spark):
         graphalgo.kcore(ndf, edf, k=2, max_rounds=3)
     # and with budget: the path has an empty 2-core
     assert graphalgo.kcore(ndf, edf, k=2, max_rounds=12).count() == 0
+
+
+def test_pagerank_weighted_matches_twin_and_follows_weight(spark):
+    """Integer twin on a 4-node star where one spoke carries 10x the weight:
+    the heavy spoke must outrank the light ones, and every value must match
+    the dict-and-loop fixed-point recurrence exactly."""
+    names = ["hub", "heavy", "l1", "l2"]
+    edges = [("hub", "heavy", 50.0), ("hub", "l1", 5.0), ("hub", "l2", 5.0)]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string, weight double")
+
+    SCALE, D, ITERS = graphalgo.SCALE, 85, 5
+    sym = {}
+    for a, b, w in edges:
+        wi = round(w * 1000)
+        sym.setdefault(a, {})[b] = wi
+        sym.setdefault(b, {})[a] = wi
+    wsum = {u: sum(vs.values()) for u, vs in sym.items()}
+    rank = {n: SCALE for n in names}
+    base = (100 - D) * SCALE // 100
+    for _ in range(ITERS):
+        contrib = {n: 0 for n in names}
+        for u, vs in sym.items():
+            for v, w in vs.items():
+                contrib[v] += rank[u] * w // wsum[u]
+        rank = {n: base + D * contrib[n] // 100 for n in names}
+
+    got = {
+        r.entity_name: r.rank_scaled
+        for r in graphalgo.pagerank_weighted(ndf, edf).collect()
+    }
+    assert got == rank
+    assert got["heavy"] > got["l1"] == got["l2"]
