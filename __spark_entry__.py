@@ -57,6 +57,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # strictly-ordered view->click->purchase funnel: three chained
+        # whole-partition windows on ONE user_id exchange, zero joins
+        "events_funnel": lambda s, d: events.funnel(events.events_table(s, d)),
+        # cohort retention matrix: first-day window + distinct + tiny-key count
+        "events_retention": lambda s, d: events.retention(
+            events.events_table(s, d)
+        ),
+        # domain-mixture reweighting: rank-proportional target shares ->
+        # exact integer ppm keep-rates / repetition factors per source
+        "curation_domain_mix": lambda s, d: curation.domain_mix(
+            curation.docs_table(s, d)
+        ),
+        # CCNet-style paragraph-grain exact dedup: keep-first occurrence
+        # rank per block hash, linear in corpus size (rank, not pairs)
+        "dup_paragraph": lambda s, d: dedup.paragraph_dedup(
+            dedup.docs_table(s, d)
+        ),
         # weight-proportional PageRank: rank mass flows by merged
         # relationship strength (milli-unit integer weights), not degree
         "kg_pagerank_weighted": api.pagerank_weighted,
@@ -324,4 +341,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hll": oracle_extra.hll_distinct_sql(),
         "events_quantiles": oracle_extra.value_quantiles_sql(),
         "kg_pagerank_weighted": oracle.q(oracle.pagerank_weighted_select()),
+        "events_funnel": oracle_extra.funnel_sql(),
+        "events_retention": oracle_extra.retention_sql(),
+        "curation_domain_mix": oracle_extra.domain_mix_sql(),
+        "dup_paragraph": oracle_extra.paragraph_dedup_sql(),
     }

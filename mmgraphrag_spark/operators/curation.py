@@ -295,6 +295,51 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
+def domain_mix(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens, target_ppm, target_tokens, rate_ppm,
+    epochs_ppm): domain-mixture reweighting — given a target share per
+    source domain, how to resample each domain so the training mix hits it.
+    ``rate_ppm`` is the keep rate for down-sampled domains (capped at 10^6);
+    ``epochs_ppm`` is the repetition factor for up-sampled ones (>10^6 means
+    the domain repeats). The knob every pretraining mixture sweep turns
+    (Pile/DoReMi-style domain weights), exact in integer ppm arithmetic.
+
+    Target shares are a pure function of the relation: domains rank by name
+    and the share is rank-proportional (rank·2·10^6 div k(k+1)) — no
+    external weight table, so the twin is self-contained. Shape at scale:
+    one groupBy on source (map-side combined; domain cardinality is tiny)
+    then whole-relation windows over the k-row aggregate — the single
+    partition the WindowExec warning flags holds k≈domains rows, not data.
+    The ppm multiplies stay int64-exact below ~9·10^12 total tokens; past
+    that, split the multiply (div-first on the 10^6 factor).
+    """
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    whole = Window.partitionBy()
+    ranked = (
+        per.withColumn("rnk", F.row_number().over(Window.orderBy("source")))
+        .withColumn("k", F.count(F.lit(1)).over(whole))
+        .withColumn("total_tokens", F.sum("n_tokens").over(whole))
+    )
+    return ranked.select(
+        "source", "n_docs", "n_tokens",
+        F.expr("rnk * 2000000 div (k * (k + 1))").alias("target_ppm"),
+        F.expr(
+            "total_tokens * (rnk * 2000000 div (k * (k + 1))) div 1000000"
+        ).alias("target_tokens"),
+        F.expr(
+            "least(1000000, total_tokens * (rnk * 2000000 div (k * (k + 1)))"
+            " div 1000000 * 1000000 div n_tokens)"
+        ).alias("rate_ppm"),
+        F.expr(
+            "total_tokens * (rnk * 2000000 div (k * (k + 1))) div 1000000"
+            " * 1000000 div n_tokens"
+        ).alias("epochs_ppm"),
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = 256, shards: int = 8) -> DataFrame:
     """(doc_id, shard, n_tokens, seq_id, offset_tokens): concat-and-chunk
     sequence packing — within each shard, documents concatenate in doc_id

@@ -538,6 +538,56 @@ def crossdoc_span_coverage(
     )
 
 
+# ---- paragraph-level exact dedup (CCNet-style) ------------------------------
+
+
+def paragraph_dedup(docs: DataFrame, para_words: int = 16) -> DataFrame:
+    """(doc_id, n_paras, n_dup_paras, dup_ppm): paragraph-grain exact
+    deduplication — the CCNet recipe (Wenzek et al. 2020): split every
+    document into paragraphs, hash each, and keep only the FIRST occurrence
+    of every hash corpus-wide; a doc's ``dup_ppm`` is the fraction of its
+    paragraphs a keep-first pass would delete. The synthetic corpus has no
+    newlines, so "paragraphs" are fixed ``para_words``-word blocks — the
+    same plan shape either way (swap the splitter expression).
+
+    Keep-first is made deterministic by ranking occurrences of a hash by
+    (doc_id, para_idx): occurrence rank 1 survives, everything later is a
+    duplicate — an exact, order-free contract both engines agree on.
+
+    Shape at scale: paragraph construction is a generator (split + slice —
+    zero shuffle), then ONE hash exchange on para_hash for the rank window
+    and ONE map-side-combined groupBy(doc_id). Posting lists per hash are
+    bounded by the duplicate multiplicity itself (no df explosion — rank,
+    not pairs), so unlike pair-join dedup this stays linear in corpus size
+    even when one paragraph repeats a million times.
+    """
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(split(text, ' ')) - 1) div {para_words}),"
+                f" i -> md5(array_join(slice(split(text, ' '),"
+                f" i * {para_words} + 1, {para_words}), ' ')))"
+            )
+        ).alias("para_idx", "para_hash"),
+    )
+    w = Window.partitionBy("para_hash").orderBy("doc_id", "para_idx")
+    return (
+        paras.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("rn") > 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id", "n_paras", "n_dup_paras",
+            F.expr("n_dup_paras * 1000000 div n_paras").alias("dup_ppm"),
+        )
+    )
+
+
 # ---- near-duplicate cluster collapse ---------------------------------------
 
 

@@ -159,6 +159,109 @@ def asof_join(
     )
 
 
+def funnel(
+    events: DataFrame, stages: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """(user_id, view_us, click_us, purchase_us, stage): strictly-ordered
+    funnel — per user, the earliest ``stages[0]`` event, then the earliest
+    ``stages[1]`` STRICTLY after it, then the earliest ``stages[2]`` strictly
+    after that. ``stage`` counts completed steps (0–3); later columns are
+    NULL once the chain breaks, so conversion rates fall out of a count.
+
+    Three chained whole-partition windows on ONE user_id exchange: each
+    step's min() can only be evaluated once the previous step's timestamp is
+    known, but since that timestamp is a per-partition constant the filter
+    stays row-local — no joins, no second shuffle. At 10^12 events this is
+    the standard funnel shape: hash-partition by user (per-user history is
+    tiny), constant memory per user, and the final one-row-per-user groupBy
+    reuses the same partitioning.
+    """
+    s0, s1, s2 = stages
+    w = Window.partitionBy("user_id")
+    base = events.filter(F.col("event_type").isin(list(stages))).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    d = base.withColumn(
+        "view_us", F.min(F.when(F.col("event_type") == s0, F.col("ts_us"))).over(w)
+    )
+    d = d.withColumn(
+        "click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == s1) & (F.col("ts_us") > F.col("view_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "purchase_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == s2) & (F.col("ts_us") > F.col("click_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("view_us").alias("view_us"),
+        F.max("click_us").alias("click_us"),
+        F.max("purchase_us").alias("purchase_us"),
+    )
+    return per_user.select(
+        "user_id",
+        "view_us",
+        "click_us",
+        "purchase_us",
+        (
+            F.when(F.col("purchase_us").isNotNull(), F.lit(3))
+            .when(F.col("click_us").isNotNull(), F.lit(2))
+            .when(F.col("view_us").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("stage"),
+    )
+
+
+DAY_US = 86_400_000_000
+
+
+def retention(events: DataFrame, grain_us: int = DAY_US) -> DataFrame:
+    """(cohort_us, day_offset, n_users): cohort retention — users grouped by
+    the day of their first event; ``n_users`` counts how many of that cohort
+    were active ``day_offset`` grains later. The classic triangular retention
+    matrix, exact (integer epoch-µs day buckets, integer offsets).
+
+    One user_id exchange (first-day window) feeds a distinct + count on
+    (cohort, offset): the distinct is the only second shuffle and its key
+    cardinality is cohorts × horizon — tiny regardless of event volume, so
+    at 10^12 events the plan is a map-side-combined distinct over ~10^3
+    keys. No joins: the per-user first day is a whole-partition min window,
+    not a self-join back onto the event log.
+    """
+    w = Window.partitionBy("user_id")
+    days = events.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")) % grain_us
+        ).alias("day_us"),
+    )
+    tagged = days.withColumn("cohort_us", F.min("day_us").over(w))
+    return (
+        tagged.select(
+            "cohort_us",
+            ((F.col("day_us") - F.col("cohort_us")) / grain_us)
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_us", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def value_quantiles(events: DataFrame, quantiles_pm=(500_000, 900_000, 990_000)) -> DataFrame:
     """(event_type, n, p50_cents, p90_cents, p99_cents): EXACT per-group
     quantiles of the event value by rank arithmetic — the discrete

@@ -995,3 +995,122 @@ SELECT event_type, MAX(n) AS n,
        {aggs}
 FROM ranked GROUP BY event_type
 """
+
+
+def funnel_sql(stages: tuple[str, str, str] = ("view", "click", "purchase")) -> str:
+    """Twin of events.funnel: three chained whole-partition min windows —
+    each stage's earliest timestamp strictly after the previous stage's."""
+    s0, s1, s2 = stages
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type IN ('{s0}', '{s1}', '{s2}')
+),
+v AS (
+  SELECT user_id, event_type, ts_us,
+         MIN(CASE WHEN event_type = '{s0}' THEN ts_us END)
+           OVER (PARTITION BY user_id) AS view_us
+  FROM base
+),
+c AS (
+  SELECT user_id, event_type, ts_us, view_us,
+         MIN(CASE WHEN event_type = '{s1}' AND ts_us > view_us THEN ts_us END)
+           OVER (PARTITION BY user_id) AS click_us
+  FROM v
+),
+p AS (
+  SELECT user_id, view_us, click_us,
+         MIN(CASE WHEN event_type = '{s2}' AND ts_us > click_us THEN ts_us END)
+           OVER (PARTITION BY user_id) AS purchase_us
+  FROM c
+)
+SELECT user_id,
+       MAX(view_us) AS view_us,
+       MAX(click_us) AS click_us,
+       MAX(purchase_us) AS purchase_us,
+       CAST(CASE WHEN MAX(purchase_us) IS NOT NULL THEN 3
+                 WHEN MAX(click_us) IS NOT NULL THEN 2
+                 WHEN MAX(view_us) IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM p GROUP BY user_id
+"""
+
+
+def retention_sql(grain_us: int = 86_400_000_000) -> str:
+    """Twin of events.retention: first-day window + distinct + count."""
+    return f"""
+WITH days AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(ts) % {grain_us} AS day_us
+  FROM events
+),
+tagged AS (
+  SELECT user_id, day_us,
+         MIN(day_us) OVER (PARTITION BY user_id) AS cohort_us
+  FROM days
+),
+d AS (
+  SELECT DISTINCT cohort_us,
+         CAST((day_us - cohort_us) // {grain_us} AS BIGINT) AS day_offset,
+         user_id
+  FROM tagged
+)
+SELECT cohort_us, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d GROUP BY cohort_us, day_offset
+"""
+
+
+def domain_mix_sql() -> str:
+    """Twin of curation.domain_mix: rank-proportional target shares, exact
+    integer ppm resampling rates (`//` == Spark `div` on non-negatives)."""
+    return """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, n_docs, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY source) AS rnk,
+         COUNT(*) OVER () AS k,
+         SUM(n_tokens) OVER () AS total_tokens
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(rnk * 2000000 // (k * (k + 1)) AS BIGINT) AS target_ppm,
+       CAST(total_tokens * (rnk * 2000000 // (k * (k + 1))) // 1000000
+            AS BIGINT) AS target_tokens,
+       CAST(least(1000000, total_tokens * (rnk * 2000000 // (k * (k + 1)))
+            // 1000000 * 1000000 // n_tokens) AS BIGINT) AS rate_ppm,
+       CAST(total_tokens * (rnk * 2000000 // (k * (k + 1)))
+            // 1000000 * 1000000 // n_tokens AS BIGINT) AS epochs_ppm
+FROM ranked
+"""
+
+
+def paragraph_dedup_sql(para_words: int = 16) -> str:
+    """Twin of dedup.paragraph_dedup: identical block split, md5 hash, and
+    keep-first occurrence rank by (doc_id, para_idx)."""
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+paras AS (
+  SELECT doc_id, g.i AS para_idx,
+         md5(array_to_string(
+           w[g.i * {para_words} + 1 : g.i * {para_words} + {para_words}],
+           ' ')) AS para_hash
+  FROM base, UNNEST(generate_series(0, (len(w) - 1) // {para_words})) AS g(i)
+),
+flagged AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY para_hash
+                            ORDER BY doc_id, para_idx) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS dup_ppm
+FROM flagged GROUP BY doc_id
+"""

@@ -336,3 +336,37 @@ def test_bm25_rewards_tf_and_penalizes_doc_length(spark):
     assert got[1][0] == 1  # tf=2 wins
     assert got[0][0] == 2 and got[2][0] == 3  # equal tf: shorter doc first
     assert got[0][1] > got[2][1] > 0
+
+
+def test_domain_mix_matches_python_twin_and_invariants(spark):
+    docs = curation.docs_table(spark, SF_TINY).collect()
+    per: dict[str, list] = {}
+    for r in docs:
+        per.setdefault(r.source, []).append(len(r.text.split(" ")))
+    sources = sorted(per)
+    k = len(sources)
+    total = sum(sum(v) for v in per.values())
+    want = {}
+    for rnk, s in enumerate(sources, start=1):
+        n_tokens = sum(per[s])
+        target_ppm = rnk * 2_000_000 // (k * (k + 1))
+        target_tokens = total * target_ppm // 1_000_000
+        epochs_ppm = target_tokens * 1_000_000 // n_tokens
+        want[s] = (
+            len(per[s]), n_tokens, target_ppm, target_tokens,
+            min(1_000_000, epochs_ppm), epochs_ppm,
+        )
+    got = {
+        r.source: (
+            r.n_docs, r.n_tokens, r.target_ppm, r.target_tokens,
+            r.rate_ppm, r.epochs_ppm,
+        )
+        for r in curation.domain_mix(curation.docs_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+    # invariants: shares sum to <= 1e6 (integer floor), rates capped
+    assert sum(v[2] for v in got.values()) <= 1_000_000
+    assert all(v[4] <= 1_000_000 for v in got.values())
+    # rank-proportional: later-named sources get strictly larger shares
+    shares = [got[s][2] for s in sorted(got)]
+    assert shares == sorted(shares) and shares[0] < shares[-1]

@@ -457,3 +457,63 @@ def test_ann_sq8_top1_matches_bruteforce(spark):
     bf_pairs = set(zip(bf["qid"], bf["cid"]))
     sq_pairs = set(zip(sq["qid"], sq["cid"]))
     assert len(bf_pairs & sq_pairs) / len(bf_pairs) >= 0.8
+
+
+def test_paragraph_dedup_keep_first_contract(spark):
+    """16-word blocks hash corpus-wide; only the first (doc_id, para_idx)
+    occurrence of a hash is original, everything later is a duplicate."""
+    blk_a = " ".join(f"a{i}" for i in range(16))
+    blk_b = " ".join(f"b{i}" for i in range(16))
+    blk_c = " ".join(f"c{i}" for i in range(16))
+    d = _docs(
+        spark,
+        [
+            (1, f"{blk_a} {blk_b}"),          # both blocks original
+            (2, f"{blk_a} {blk_c}"),          # blk_a is a dup of doc 1
+            (3, f"{blk_b} {blk_b}"),          # first is dup of doc1, second of its own first
+            (4, " ".join(f"z{i}" for i in range(8))),  # short tail block, unique
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_dup_paras, r.dup_ppm)
+        for r in dedup.paragraph_dedup(d).collect()
+    }
+    assert got == {
+        1: (2, 0, 0),
+        2: (2, 1, 500_000),
+        3: (2, 2, 1_000_000),
+        4: (1, 0, 0),
+    }
+
+
+def test_paragraph_dedup_matches_python_twin(spark):
+    import hashlib
+
+    rows = dedup.docs_table(spark, SF_TINY).collect()
+    first_seen: dict[str, tuple] = {}
+    paras = []
+    for r in rows:
+        w = r.text.split(" ")
+        for i in range(0, (len(w) - 1) // 16 + 1):
+            h = hashlib.md5(
+                " ".join(w[i * 16 : i * 16 + 16]).encode()
+            ).hexdigest()
+            paras.append((r.doc_id, i, h))
+    want: dict[int, list] = {}
+    for doc_id, i, h in sorted(paras, key=lambda t: (t[2], t[0], t[1])):
+        dup = h in first_seen
+        if not dup:
+            first_seen[h] = (doc_id, i)
+        want.setdefault(doc_id, [0, 0])
+        want[doc_id][0] += 1
+        want[doc_id][1] += int(dup)
+    expect = {
+        d: (n, dup, dup * 1_000_000 // n) for d, (n, dup) in want.items()
+    }
+    got = {
+        r.doc_id: (r.n_paras, r.n_dup_paras, r.dup_ppm)
+        for r in dedup.paragraph_dedup(
+            dedup.docs_table(spark, SF_TINY)
+        ).collect()
+    }
+    assert got == expect

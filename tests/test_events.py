@@ -204,3 +204,83 @@ def test_value_quantiles_matches_python_twin(spark):
     # sanity: quantiles are ordered and are real data values
     for g, (_, p50, p90, p99) in got.items():
         assert p50 <= p90 <= p99
+
+
+def test_funnel_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        if r.event_type in ("view", "click", "purchase"):
+            us = int((r.ts - epoch).total_seconds() * 1_000_000 + 0.5)
+            by_user.setdefault(r.user_id, []).append((us, r.event_type))
+    want = {}
+    for u, evs in by_user.items():
+        v = min((t for t, k in evs if k == "view"), default=None)
+        c = (
+            min((t for t, k in evs if k == "click" and t > v), default=None)
+            if v is not None
+            else None
+        )
+        p = (
+            min((t for t, k in evs if k == "purchase" and t > c), default=None)
+            if c is not None
+            else None
+        )
+        stage = 3 if p is not None else 2 if c is not None else 1 if v is not None else 0
+        want[u] = (v, c, p, stage)
+    got = {
+        r.user_id: (r.view_us, r.click_us, r.purchase_us, r.stage)
+        for r in ev.funnel(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+    assert any(s == 3 for *_, s in got.values())  # full conversions exist
+
+
+def test_funnel_strict_ordering_contract(spark):
+    """A click AT the view instant (or before it) does not advance the
+    funnel — each stage must be STRICTLY after the previous one."""
+    t0 = datetime.datetime(2024, 1, 1)
+    us = lambda n: t0 + datetime.timedelta(microseconds=n)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, us(100), 7, "view", 0.0, "{}"),
+            (2, us(100), 7, "click", 0.0, "{}"),   # same instant: no advance
+            (3, us(50), 8, "click", 0.0, "{}"),    # click BEFORE view
+            (4, us(100), 8, "view", 0.0, "{}"),
+            (5, us(200), 8, "click", 0.0, "{}"),   # this one counts
+            (6, us(300), 8, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.user_id: (r.stage, r.click_us) for r in ev.funnel(df).collect()}
+    assert got[7] == (1, None)
+    assert got[8][0] == 3
+    assert got[8][1] == int(
+        (us(200) - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+
+
+def test_retention_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    day = 86_400_000_000
+    per_user: dict[int, set] = {}
+    for r in rows:
+        us = int((r.ts - epoch).total_seconds() * 1_000_000 + 0.5)
+        per_user.setdefault(r.user_id, set()).add(us - us % day)
+    want: dict[tuple, int] = {}
+    for _u, days in per_user.items():
+        cohort = min(days)
+        for d in days:
+            key = (cohort, (d - cohort) // day)
+            want[key] = want.get(key, 0) + 1
+    got = {
+        (r.cohort_us, r.day_offset): r.n_users
+        for r in ev.retention(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+    assert all(
+        ((c, 0) in got) for c, _off in got
+    )  # every cohort is active on its own day 0
