@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # DSIR importance weights (Xie et al. 2023): hashed-ngram
+        # likelihood-ratio data selection; the 4096-bucket model broadcasts
+        # back onto the gram stream (exact-integer ppm ratios)
+        "curation_dsir": lambda s, d: curation.dsir_weights(
+            curation.docs_table(s, d)
+        ),
         # strictly-ordered view->click->purchase funnel: three chained
         # whole-partition windows on ONE user_id exchange, zero joins
         "events_funnel": lambda s, d: events.funnel(events.events_table(s, d)),
@@ -341,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hll": oracle_extra.hll_distinct_sql(),
         "events_quantiles": oracle_extra.value_quantiles_sql(),
         "kg_pagerank_weighted": oracle.q(oracle.pagerank_weighted_select()),
+        "curation_dsir": oracle_extra.dsir_sql(),
         "events_funnel": oracle_extra.funnel_sql(),
         "events_retention": oracle_extra.retention_sql(),
         "curation_domain_mix": oracle_extra.domain_mix_sql(),

@@ -340,6 +340,99 @@ def domain_mix(docs: DataFrame) -> DataFrame:
     )
 
 
+def dsir_weights(
+    docs: DataFrame, n: int = 2, buckets: int = 4096, target_lang: str = "en"
+) -> DataFrame:
+    """(doc_id, lang, n_grams, sum_ratio_ppm, avg_ratio_ppm, keep): DSIR —
+    Data Selection via Importance Resampling (Xie et al. 2023): score every
+    raw document by how target-like its hashed word ``n``-gram distribution
+    is. Each gram hashes into one of ``buckets`` bins; a bin's importance
+    ratio is p_target(bin)/p_raw(bin) with add-one smoothing, and a doc's
+    weight is the mean ratio over its gram occurrences (the exact-integer
+    stand-in for DSIR's log-likelihood-ratio sum — logs are float-engine-
+    defined, ratios in ppm hash bit-exactly cross-engine). The target
+    distribution here is the ``target_lang`` stratum of the corpus itself
+    (the quality-stratum stand-in the synthetic data supports); ``keep``
+    marks docs whose mean ratio is at or above the corpus-wide occurrence-
+    weighted mean (add-one smoothing biases every ratio below 10^6, so an
+    absolute threshold would be degenerate — the relative cut is DSIR's
+    top-fraction resampling in exact integer form, at the cost of one
+    1-row aggregate broadcast).
+
+    Shape at scale: grams are a generator (zero shuffle) -> ONE map-side-
+    combined groupBy over ``buckets`` keys (the whole model is a 4096-row
+    relation REGARDLESS of corpus size — that is DSIR's point) -> the ratio
+    table broadcasts back onto the gram stream (no second shuffle of the
+    corpus) -> one groupBy(doc_id). The ppm multiplies are int64-exact
+    below ~9·10^12 gram occurrences; past that, div-first on the 10^6.
+    """
+    base = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {n} THEN"
+                f" transform(sequence(0, size(w) - {n}),"
+                f"  j -> pmod(cast(conv(substr(md5("
+                f"       concat_ws(' ', slice(w, j + 1, {n}))), 1, 15),"
+                f"       16, 10) as bigint), {buckets}))"
+                f" ELSE array() END"
+            )
+        ).alias("b"),
+    )
+    whole = Window.partitionBy()
+    stats = (
+        grams.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("ct"),
+        )
+        .withColumn("r_tot", F.sum("cr").over(whole))
+        .withColumn("t_tot", F.sum("ct").over(whole))
+        .select(
+            "b",
+            F.expr(
+                f"(ct + 1) * (r_tot + {buckets}) * 1000000"
+                f" div ((cr + 1) * (t_tot + {buckets}))"
+            ).alias("ratio_ppm"),
+        )
+    )
+    per_doc = (
+        grams.join(F.broadcast(stats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("ratio_ppm").cast("long").alias("sum_ratio_ppm"),
+        )
+    )
+    mean = per_doc.agg(
+        F.expr("sum(sum_ratio_ppm) div sum(n_grams)").alias("mean_ppm")
+    )
+    return (
+        base.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(mean))
+        .select(
+            "doc_id", "lang",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("sum_ratio_ppm", F.lit(0).cast("long")).alias(
+                "sum_ratio_ppm"
+            ),
+            F.expr(
+                "coalesce(sum_ratio_ppm, 0L) div greatest(coalesce(n_grams, 0L), 1L)"
+            ).alias("avg_ratio_ppm"),
+            F.expr(
+                "CASE WHEN coalesce(sum_ratio_ppm, 0L)"
+                " div greatest(coalesce(n_grams, 0L), 1L) >= mean_ppm"
+                " THEN 1L ELSE 0L END"
+            ).alias("keep"),
+        )
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = 256, shards: int = 8) -> DataFrame:
     """(doc_id, shard, n_tokens, seq_id, offset_tokens): concat-and-chunk
     sequence packing — within each shard, documents concatenate in doc_id

