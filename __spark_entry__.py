@@ -57,6 +57,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # hopping (sliding) window rollup: window-instance explode, the
+        # batch twin of F.window(ts, "1 hour", "15 minutes") streaming aggs
+        "events_hopping": lambda s, d: events.hopping_rollup(
+            events.events_table(s, d)
+        ),
+        # full winnowing fingerprint selection (MOSS): strict local-min
+        # selector + cross-doc sharing counts; ~1/window fp density
+        "text_winnow": lambda s, d: textstats.winnow_fingerprints(
+            dedup.docs_table(s, d)
+        ),
         # DSIR importance weights (Xie et al. 2023): hashed-ngram
         # likelihood-ratio data selection; the 4096-bucket model broadcasts
         # back onto the gram stream (exact-integer ppm ratios)
@@ -348,6 +358,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": oracle_extra.value_quantiles_sql(),
         "kg_pagerank_weighted": oracle.q(oracle.pagerank_weighted_select()),
         "curation_dsir": oracle_extra.dsir_sql(),
+        "events_hopping": oracle_extra.hopping_rollup_sql(),
+        "text_winnow": oracle_extra.winnow_sql(),
         "events_funnel": oracle_extra.funnel_sql(),
         "events_retention": oracle_extra.retention_sql(),
         "curation_domain_mix": oracle_extra.domain_mix_sql(),

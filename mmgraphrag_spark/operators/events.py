@@ -159,6 +159,54 @@ def asof_join(
     )
 
 
+def hopping_rollup(
+    events: DataFrame,
+    width_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+) -> DataFrame:
+    """(win_start_us, event_type, n_events, n_users, sum_value_cents):
+    HOPPING (sliding) window rollup — every event contributes to the
+    ``width_us / hop_us`` overlapping windows that contain it (here 1 h
+    windows sliding by 15 min), the batch twin of Spark's
+    ``F.window(ts, "1 hour", "15 minutes")`` streaming aggregation but in
+    pinned integer arithmetic so the cross-engine hash is exact.
+
+    Implemented as the window-instance EXPLODE: each event generates its
+    window starts with ``sequence`` (a generator — no shuffle, blowup factor
+    exactly width/hop) and ONE map-side-combined groupBy on (start, type)
+    aggregates. That factor is the honest cost of sliding windows at any
+    scale; when it bites, the standard rewrite is tumbling panes at hop
+    grain + a second width/hop-row rollup of the panes (same relation, two
+    tiny aggs) — this operator keeps the direct form, the pane rewrite is
+    `tumbling_rollup` composed with a 4-row window sum.
+    """
+    if width_us % hop_us:
+        raise ValueError("width_us must be a multiple of hop_us")
+    return (
+        events.select(
+            F.explode(
+                F.expr(
+                    f"sequence(unix_micros(cast(ts as timestamp))"
+                    f" - unix_micros(cast(ts as timestamp)) % {hop_us}"
+                    f" - {width_us - hop_us},"
+                    f" unix_micros(cast(ts as timestamp))"
+                    f" - unix_micros(cast(ts as timestamp)) % {hop_us},"
+                    f" {hop_us})"
+                )
+            ).alias("win_start_us"),
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("win_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+    )
+
+
 def funnel(
     events: DataFrame, stages: tuple[str, str, str] = ("view", "click", "purchase")
 ) -> DataFrame:

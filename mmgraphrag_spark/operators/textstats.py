@@ -8,7 +8,7 @@ cross-engine comparison is bit-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # tiny per-language stopword profiles (public common function words);
 # the heuristic is argmax hit-count with deterministic tie-break by lang code
@@ -120,6 +120,50 @@ def fingerprints(docs: DataFrame, window: int = 5) -> DataFrame:
             )
         ).alias("winnow"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
+    """(doc_id, pos, fp, n_docs): full winnowing fingerprint selection
+    (Schleimer et al. 2003, MOSS) — unlike :func:`fingerprints` (one global
+    min per doc), this selects a ~1/window density of positions per
+    document so shared FRAGMENTS between documents are localizable: a
+    position is selected when its k-gram hash is STRICTLY smaller than all
+    ``window - 1`` preceding hashes (vacuously selected near the start of
+    the doc) — a deterministic local-minimum selector both engines evaluate
+    identically, trading classic winnowing's per-window guarantee for an
+    order-free exact contract. ``n_docs`` counts documents sharing the
+    fingerprint (>1 = a cross-document match candidate, the plagiarism /
+    mirror-detection signal).
+
+    Shape at scale: gram hashing is a generator, selection is one lag-window
+    min on (doc_id, pos) — ONE doc-keyed exchange — and the sharing count is
+    a map-side-combined groupBy(fp) joined back on the fp key
+    (co-partitioned). Selected density ~1/window keeps the fp relation at a
+    fraction of corpus token count.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) >= {k} THEN"
+                f" transform(sequence(0, size(split(text, ' ')) - {k}),"
+                f"  j -> cast(conv(substr(md5(concat_ws(' ',"
+                f"       slice(split(text, ' '), j + 1, {k}))), 1, 15),"
+                f"       16, 10) as bigint))"
+                f" ELSE array() END"
+            )
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), -1)
+    sel = (
+        grams.withColumn("prev_min", F.min("h").over(w))
+        .filter(F.col("prev_min").isNull() | (F.col("h") < F.col("prev_min")))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), F.col("h").alias("fp"))
+    )
+    sharing = sel.groupBy("fp").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return sel.join(sharing, "fp").select("doc_id", "pos", "fp", "n_docs")
 
 
 def repetition_scores(docs: DataFrame) -> DataFrame:

@@ -1165,3 +1165,57 @@ FROM (SELECT doc_id, lang FROM documents) d
 LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 CROSS JOIN mean m
 """
+
+
+def hopping_rollup_sql(
+    width_us: int = 3_600_000_000, hop_us: int = 900_000_000
+) -> str:
+    """Twin of events.hopping_rollup: window-instance explode via
+    generate_series, identical integer bucket arithmetic."""
+    return f"""
+WITH inst AS (
+  SELECT g.s AS win_start_us, event_type, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events,
+       UNNEST(generate_series(
+         epoch_us(ts) - epoch_us(ts) % {hop_us} - {width_us - hop_us},
+         epoch_us(ts) - epoch_us(ts) % {hop_us},
+         {hop_us})) AS g(s)
+)
+SELECT win_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+FROM inst GROUP BY win_start_us, event_type
+"""
+
+
+def winnow_sql(k: int = 5, window: int = 4) -> str:
+    """Twin of textstats.winnow_fingerprints: identical md5-int64 gram hash,
+    strict trailing-window minimum selector, fp sharing count."""
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, g.j AS pos,
+         ('0x' || substr(md5(array_to_string(
+            w[g.j + 1 : g.j + {k}], ' ')), 1, 15))::BIGINT AS h
+  FROM base, UNNEST(generate_series(0, len(w) - {k})) AS g(j)
+  WHERE len(w) >= {k}
+),
+sel AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+  FROM (
+    SELECT doc_id, pos, h,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {window - 1} PRECEDING AND 1 PRECEDING)
+             AS prev_min
+    FROM grams)
+  WHERE prev_min IS NULL OR h < prev_min
+),
+sharing AS (
+  SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sel GROUP BY fp
+)
+SELECT s.doc_id, s.pos, s.fp, sh.n_docs
+FROM sel s JOIN sharing sh USING (fp)
+"""

@@ -517,3 +517,39 @@ def test_paragraph_dedup_matches_python_twin(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_winnow_fingerprints_matches_python_twin(spark):
+    import hashlib
+
+    k, window = 5, 4
+    rows = dedup.docs_table(spark, SF_TINY).collect()
+    sel = []
+    for r in rows:
+        w = r.text.split(" ")
+        hs = [
+            int(
+                hashlib.md5(" ".join(w[j : j + k]).encode()).hexdigest()[:15], 16
+            )
+            for j in range(len(w) - k + 1)
+        ]
+        for p, h in enumerate(hs):
+            prev = hs[max(0, p - (window - 1)) : p]
+            if not prev or h < min(prev):
+                sel.append((r.doc_id, p, h))
+    share: dict[int, set] = {}
+    for d, _p, h in sel:
+        share.setdefault(h, set()).add(d)
+    want = {(d, p, h, len(share[h])) for d, p, h in sel}
+    got = {
+        (r.doc_id, r.pos, r.fp, r.n_docs)
+        for r in textstats.winnow_fingerprints(
+            dedup.docs_table(spark, SF_TINY)
+        ).collect()
+    }
+    assert got == want
+    # density sanity: roughly 1/window of gram positions get selected
+    n_grams = sum(max(len(r.text.split(" ")) - k + 1, 0) for r in rows)
+    assert 0.15 * n_grams < len(got) < 0.6 * n_grams
+    # cross-doc shared fingerprints exist (the match-candidate signal)
+    assert any(n > 1 for *_, n in got)

@@ -284,3 +284,34 @@ def test_retention_matches_python_twin(spark):
     assert all(
         ((c, 0) in got) for c, _off in got
     )  # every cohort is active on its own day 0
+
+
+def test_hopping_rollup_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    width, hop = 3_600_000_000, 900_000_000
+    want: dict[tuple, list] = {}
+    for r in rows:
+        us = int((r.ts - epoch).total_seconds() * 1_000_000 + 0.5)
+        cents = round(r.value * 100)
+        last = us - us % hop
+        for s in range(last - (width - hop), last + hop, hop):
+            key = (s, r.event_type)
+            want.setdefault(key, [0, set(), 0])
+            want[key][0] += 1
+            want[key][1].add(r.user_id)
+            want[key][2] += cents
+    got = {
+        (r.win_start_us, r.event_type): (r.n_events, r.n_users, r.sum_value_cents)
+        for r in ev.hopping_rollup(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == {k: (n, len(u), c) for k, (n, u, c) in want.items()}
+    # every event lands in exactly width/hop windows
+    assert sum(n for n, *_ in got.values()) == len(rows) * (width // hop)
+
+
+def test_hopping_rollup_rejects_unaligned_hop(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        ev.hopping_rollup(ev.events_table(spark, SF_TINY), 100, 33)
