@@ -75,13 +75,17 @@ EVENTS_SCHEMA = (
 
 def windowed_event_counts(
     spark: SparkSession, events_dir: str, window: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str = "2 hours", slide: str | None = None,
 ) -> DataFrame:
-    """Streaming event-time windowed aggregation with late-data watermark."""
+    """Streaming event-time windowed aggregation with late-data watermark.
+    Pass ``slide`` < ``window`` for HOPPING windows (each event lands in
+    window/slide overlapping instances — the streaming form of
+    operators/events.hopping_rollup, whose batch explode is the exact twin
+    Structured Streaming maintains incrementally as per-instance state)."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(F.window("ts", window, slide or window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
@@ -91,11 +95,14 @@ def windowed_event_counts(
     return stream
 
 
-def batch_event_counts(spark: SparkSession, events_path: str, window: str = "1 hour") -> DataFrame:
+def batch_event_counts(
+    spark: SparkSession, events_path: str, window: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
     """Batch twin of windowed_event_counts (the correctness yardstick)."""
     return (
         spark.read.parquet(events_path)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(F.window("ts", window, slide or window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),

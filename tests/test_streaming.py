@@ -396,3 +396,69 @@ def test_stream_sessions_equals_batch_closed_sessions_and_resumes(spark, tmp_pat
     # the restart must have CLOSED at least one session that was open in
     # state at the end of run 1 (i.e. run 2 emitted something new)
     assert len(got2) > len(got1)
+
+
+def test_hopping_windowed_counts_stream_equals_batch_and_explode_twin(
+    spark, tmp_path
+):
+    """Hopping windows (1 h sliding by 15 min): the streaming agg, its batch
+    F.window twin, and operators/events.hopping_rollup's explode form all
+    produce the same relation."""
+    import datetime
+
+    src = str(tmp_path / "events_hop_src")
+    spark.read.parquet(f"{SF_TINY}/events.parquet").write.parquet(src)
+
+    q = (
+        incremental.windowed_event_counts(
+            spark, src, window="1 hour", slide="15 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("evt_hop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from evt_hop").toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    want = (
+        incremental.batch_event_counts(
+            spark, src, window="1 hour", slide="15 minutes"
+        ).toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    merged = got.merge(
+        want, on=["window_start", "event_type"], suffixes=("_s", "_b")
+    )
+    # append mode emits only watermark-finalized window instances: the
+    # emitted set is a prefix-subset of the batch relation (the unemitted
+    # remainder is the trailing horizon) and every emitted value agrees
+    assert len(merged) == len(got) <= len(want)
+    assert (merged["n_s"] == merged["n_b"]).all()
+    unemitted = want.merge(
+        got[["window_start", "event_type"]],
+        on=["window_start", "event_type"],
+        how="left",
+        indicator=True,
+    )
+    late = unemitted[unemitted["_merge"] == "left_only"]["window_start"]
+    assert late.min() > got["window_start"].max() - datetime.timedelta(hours=3)
+    # the explode-form batch operator (epoch-µs buckets) agrees on counts
+    from mmgraphrag_spark.operators import events as ev
+
+    explode_counts = {
+        (
+            datetime.datetime.utcfromtimestamp(r.win_start_us / 1_000_000),
+            r.event_type,
+        ): r.n_events
+        for r in ev.hopping_rollup(spark.read.parquet(src)).collect()
+    }
+    batch_counts = {
+        (r.window_start, r.event_type): r.n
+        for r in want.itertuples(index=False)
+    }
+    assert explode_counts == batch_counts
