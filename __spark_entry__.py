@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # corpus bigram-LM fluency scores (KenLM-style filtering in exact
+        # integer ppm): rare transitions given the corpus score low
+        "text_lm_score": lambda s, d: textstats.lm_scores(dedup.docs_table(s, d)),
+        # robust per-type outlier detection: exact rank median + MAD,
+        # deviation in ppm of the MAD, flag at |x-med| > 2*MAD
+        "events_anomaly": lambda s, d: events.anomalies(events.events_table(s, d)),
         # hopping (sliding) window rollup: window-instance explode, the
         # batch twin of F.window(ts, "1 hour", "15 minutes") streaming aggs
         "events_hopping": lambda s, d: events.hopping_rollup(
@@ -359,6 +365,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_weighted": oracle.q(oracle.pagerank_weighted_select()),
         "curation_dsir": oracle_extra.dsir_sql(),
         "events_hopping": oracle_extra.hopping_rollup_sql(),
+        "text_lm_score": oracle_extra.lm_scores_sql(),
+        "events_anomaly": oracle_extra.anomalies_sql(),
         "text_winnow": oracle_extra.winnow_sql(),
         "events_funnel": oracle_extra.funnel_sql(),
         "events_retention": oracle_extra.retention_sql(),

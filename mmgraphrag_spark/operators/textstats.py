@@ -122,6 +122,71 @@ def fingerprints(docs: DataFrame, window: int = 5) -> DataFrame:
     )
 
 
+def lm_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, sum_ppm, avg_ppm): corpus bigram-LM fluency score
+    — the exact-integer stand-in for KenLM perplexity filtering (CCNet's
+    quality signal): each word-bigram occurrence scores the corpus
+    conditional p(w2|w1) = c(w1 w2)/c(w1 ·) as an integer ppm ratio, and a
+    document's score is the mean over its bigram occurrences. Documents
+    whose transitions are rare given the corpus (garbled text, wrong-corpus
+    inserts) score low. Log-prob sums are float-engine-defined; mean ratio
+    ppm ranks the same tails and hashes bit-exactly cross-engine.
+
+    The conditional is Laplace-smoothed with the corpus vocabulary size V:
+    p = c(w1 w2) / (c(w1 ·) + V). Without the +V an out-of-corpus doc is
+    a perfect self-predictor (its unique prefix has exactly one unique
+    successor — c2 = c1 = 1 → ratio 10^6, the classic unsmoothed-LM
+    artifact); with it, a singleton transition scores 10^6/(1+V) while an
+    established corpus transition keeps c2/(c1+V) ≫ that, so garble ranks
+    low (pytest-pinned).
+
+    Shape at scale: the bigram/prefix counts are whole-partition COUNT
+    windows over the occurrence stream — no join of corpus-sized state, no
+    recomputation of the gram subtree (a tf-join formulation re-derives the
+    explode twice and re-exchanges it on every key; this one is exactly
+    three corpus exchanges: (w1, w2), (w1), doc_id). The vocabulary size is
+    a 1-row aggregate broadcast via crossJoin. Everything is linear in
+    corpus token count.
+    """
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(0, size(split(text, ' ')) - 2),"
+                "  j -> struct(element_at(split(text, ' '), j + 1) AS w1,"
+                "              element_at(split(text, ' '), j + 2) AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    vocab = occ.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        occ.withColumn(
+            "c2", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+        )
+        .withColumn("c1", F.count(F.lit(1)).over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("c2 * 1000000 div (c1 + v)").alias("ratio_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("ratio_ppm").cast("long").alias("sum_ppm"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "sum_ppm",
+            F.expr("sum_ppm div n_bigrams").alias("avg_ppm"),
+        )
+    )
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
     """(doc_id, pos, fp, n_docs): full winnowing fingerprint selection
     (Schleimer et al. 2003, MOSS) — unlike :func:`fingerprints` (one global

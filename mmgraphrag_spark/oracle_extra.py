@@ -1219,3 +1219,76 @@ sharing AS (
 SELECT s.doc_id, s.pos, s.fp, sh.n_docs
 FROM sel s JOIN sharing sh USING (fp)
 """
+
+
+def lm_scores_sql() -> str:
+    """Twin of textstats.lm_scores: per-(doc,bigram) tf, corpus conditional
+    ratios in integer ppm, per-doc occurrence-weighted mean."""
+    return """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, w[g.j + 1] AS w1, w[g.j + 2] AS w2
+  FROM base, UNNEST(generate_series(0, len(w) - 2)) AS g(j)
+  WHERE len(w) >= 2
+),
+tf AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM occ GROUP BY doc_id, w1, w2
+),
+big AS (SELECT w1, w2, SUM(tf) AS c2 FROM tf GROUP BY w1, w2),
+pre AS (SELECT w1, SUM(c2) AS c1 FROM big GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT w2 AS w FROM big UNION ALL SELECT w1 AS w FROM big)
+),
+ratios AS (
+  SELECT b.w1, b.w2, b.c2 * 1000000 // (p.c1 + vb.v) AS ratio_ppm
+  FROM big b JOIN pre p USING (w1) CROSS JOIN vocab vb
+)
+SELECT t.doc_id,
+       CAST(SUM(t.tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(t.tf * r.ratio_ppm) AS BIGINT) AS sum_ppm,
+       CAST(SUM(t.tf * r.ratio_ppm) // SUM(t.tf) AS BIGINT) AS avg_ppm
+FROM tf t JOIN ratios r ON t.w1 = r.w1 AND t.w2 = r.w2
+GROUP BY t.doc_id
+"""
+
+
+def anomalies_sql(k: int = 2) -> str:
+    """Twin of events.anomalies: exact rank-median + rank-MAD, identical
+    lower-median rank target (n+1)//2 and integer ppm deviation."""
+    return f"""
+WITH base AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, v AS med_cents FROM (
+    SELECT event_type, cents AS v,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS r,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM base)
+  WHERE r = (n + 1) // 2
+),
+dev AS (
+  SELECT b.event_id, b.event_type, b.cents, m.med_cents,
+         abs(b.cents - m.med_cents) AS adev
+  FROM base b JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, v AS mad_cents FROM (
+    SELECT event_type, adev AS v,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY adev, event_id) AS r,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev)
+  WHERE r = (n + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.cents, d.med_cents, md.mad_cents,
+       CAST(d.adev * 1000000 // greatest(md.mad_cents, 1) AS BIGINT)
+         AS dev_ppm,
+       CAST(CASE WHEN d.adev > {k} * md.mad_cents THEN 1 ELSE 0 END
+            AS BIGINT) AS is_anomaly
+FROM dev d JOIN mad md USING (event_type)
+"""

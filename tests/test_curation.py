@@ -433,3 +433,46 @@ def test_dsir_plan_is_broadcast_probe(spark):
     assert "SortMergeJoin" not in plan.replace(
         "SortMergeJoin", "SortMergeJoin", 0
     ) or True  # the doc-id left join may SMJ at scale; the PROBE must broadcast
+
+
+def test_lm_scores_matches_python_twin_and_ranks_garble_low(spark):
+    docs = curation.docs_table(spark, SF_TINY).collect()
+    big: dict[tuple, int] = {}
+    pre: dict[str, int] = {}
+    per_doc: dict[int, list] = {}
+    for r in docs:
+        w = r.text.split(" ")
+        for j in range(len(w) - 1):
+            b = (w[j], w[j + 1])
+            big[b] = big.get(b, 0) + 1
+            pre[w[j]] = pre.get(w[j], 0) + 1
+            per_doc.setdefault(r.doc_id, []).append(b)
+    vocab = len({w for b in big for w in b})
+    want = {}
+    for d, bs in per_doc.items():
+        s = sum(big[b] * 1_000_000 // (pre[b[0]] + vocab) for b in bs)
+        want[d] = (len(bs), s, s // len(bs))
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_ppm, r.avg_ppm)
+        for r in textstats.lm_scores(
+            curation.docs_table(spark, SF_TINY)
+        ).collect()
+    }
+    assert got == want
+
+    # a garbled doc (every bigram unique to it) must score below the
+    # corpus median: append one and re-score
+    from pyspark.sql import functions as F
+
+    garble = " ".join(f"xq{i}z" for i in range(40))
+    aug = curation.docs_table(spark, SF_TINY).unionByName(
+        curation.docs_table(spark, SF_TINY)
+        .limit(1)
+        .select(
+            F.lit(999_999).alias("doc_id"), F.lit(garble).alias("text"),
+            F.lit("xx").alias("lang"), F.lit("srcX").alias("source"),
+        )
+    )
+    scores = {r.doc_id: r.avg_ppm for r in textstats.lm_scores(aug).collect()}
+    med = sorted(scores.values())[len(scores) // 2]
+    assert scores[999_999] < med

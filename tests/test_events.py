@@ -315,3 +315,56 @@ def test_hopping_rollup_rejects_unaligned_hop(spark):
 
     with pytest.raises(ValueError):
         ev.hopping_rollup(ev.events_table(spark, SF_TINY), 100, 33)
+
+
+def test_anomalies_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            (round(r.value * 100), r.event_id)
+        )
+
+    def med(vals):  # lower median: rank (n+1)//2 in (value, event_id) order
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1][0]
+
+    stats = {}
+    for t, vs in by_type.items():
+        m = med(vs)
+        mad = med([(abs(c - m), e) for c, e in vs])
+        stats[t] = (m, mad)
+    want = {}
+    for t, vs in by_type.items():
+        m, mad = stats[t]
+        for c, e in vs:
+            adev = abs(c - m)
+            want[e] = (
+                t, c, m, mad,
+                adev * 1_000_000 // max(mad, 1),
+                int(adev > 2 * mad),
+            )
+    got = {
+        r.event_id: (
+            r.event_type, r.cents, r.med_cents, r.mad_cents, r.dev_ppm,
+            r.is_anomaly,
+        )
+        for r in ev.anomalies(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+
+
+def test_anomalies_flags_injected_outlier(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    base = [
+        (i, t0, 1, "pay", 10.0 + (i % 5), "{}") for i in range(20)
+    ]
+    spiked = base + [(99, t0, 1, "pay", 10_000.0, "{}")]
+    df = spark.createDataFrame(
+        spiked,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.event_id: r.is_anomaly for r in ev.anomalies(df).collect()}
+    assert got[99] == 1
+    assert sum(got.values()) == 1  # only the spike is flagged
