@@ -57,6 +57,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # first-order Markov transition matrix over per-user event flows
+        # ('^' = sequence start; exact integer row-normalized ppm)
+        "events_markov": lambda s, d: events.markov_transitions(
+            events.events_table(s, d)
+        ),
+        # exact Gini-impurity lexical diversity (the log-free entropy twin)
+        "text_gini": lambda s, d: textstats.gini_diversity(
+            dedup.docs_table(s, d)
+        ),
         # corpus bigram-LM fluency scores (KenLM-style filtering in exact
         # integer ppm): rare transitions given the corpus score low
         "text_lm_score": lambda s, d: textstats.lm_scores(dedup.docs_table(s, d)),
@@ -366,6 +375,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_dsir": oracle_extra.dsir_sql(),
         "events_hopping": oracle_extra.hopping_rollup_sql(),
         "text_lm_score": oracle_extra.lm_scores_sql(),
+        "events_markov": oracle_extra.markov_sql(),
+        "text_gini": oracle_extra.gini_sql(),
         "events_anomaly": oracle_extra.anomalies_sql(),
         "text_winnow": oracle_extra.winnow_sql(),
         "events_funnel": oracle_extra.funnel_sql(),

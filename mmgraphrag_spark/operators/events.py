@@ -159,6 +159,42 @@ def asof_join(
     )
 
 
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """(prev_type, event_type, n, row_total, p_ppm): the first-order Markov
+    transition matrix over per-user event sequences — how users actually
+    flow between actions (the model behind next-event prediction and
+    funnel-leak analysis). ``p_ppm`` is the exact integer transition
+    probability P(event_type | prev_type); sequence starts appear under
+    prev_type = '^' so rows sum to each user-step total.
+
+    One lag window on the user_id exchange (ties broken by event_id — the
+    same total order every per-user operator here pins), then a
+    (prev, next)-keyed count whose cardinality is |types|² — the second
+    exchange carries a bounded key set at any event volume, map-side
+    combined. The row-total window runs over that tiny aggregate.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .withColumn("prev_type", F.coalesce(F.lag("event_type").over(w), F.lit("^")))
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "event_type", "n",
+        F.sum("n").over(tot).cast("long").alias("row_total"),
+        F.expr(
+            "n * 1000000 div sum(n) over (partition by prev_type)"
+        ).alias("p_ppm"),
+    )
+
+
 def anomalies(events: DataFrame, k: int = 2) -> DataFrame:
     """(event_id, event_type, cents, med_cents, mad_cents, dev_ppm,
     is_anomaly): robust per-type outlier detection — median + MAD (median

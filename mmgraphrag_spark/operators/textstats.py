@@ -122,6 +122,42 @@ def fingerprints(docs: DataFrame, window: int = 5) -> DataFrame:
     )
 
 
+def gini_diversity(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, sum_sq, gini_ppm): lexical diversity as EXACT
+    Gini impurity over the document's unigram distribution —
+    1 − Σ p(w)² = 1 − Σ c(w)² / n², in integer ppm (entropy needs a log,
+    which is float-engine-defined; Gini ranks the same degenerate tails —
+    near 0 for one-token spam, near 1 − 1/V for diverse text — and hashes
+    bit-exactly). Complements ``quality_scores``' distinct-token ratio,
+    which can't tell "one token repeated 99× plus 99 singletons" from a
+    flat 50/50 split.
+
+    Explode → per-(doc, word) count → per-doc sum of squares: two
+    map-side-combined aggregates, both keyed by doc_id first, so the
+    second groupBy reuses the first's exchange (zero extra shuffles).
+    """
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.expr("c * c")).cast("long").alias("sum_sq"),
+        )
+        .select(
+            "doc_id", "n_tokens", "sum_sq",
+            F.expr(
+                "1000000 - sum_sq * 1000000 div (n_tokens * n_tokens)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
 def lm_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, sum_ppm, avg_ppm): corpus bigram-LM fluency score
     — the exact-integer stand-in for KenLM perplexity filtering (CCNet's

@@ -1292,3 +1292,44 @@ SELECT d.event_id, d.event_type, d.cents, d.med_cents, md.mad_cents,
             AS BIGINT) AS is_anomaly
 FROM dev d JOIN mad md USING (event_type)
 """
+
+
+def markov_sql() -> str:
+    """Twin of events.markov_transitions: identical lag order and integer
+    ppm row-normalization; '^' marks sequence starts."""
+    return """
+WITH seq AS (
+  SELECT COALESCE(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id),
+                  '^') AS prev_type,
+         event_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS p_ppm
+FROM pairs
+"""
+
+
+def gini_sql() -> str:
+    """Twin of textstats.gini_diversity: exact integer Gini impurity."""
+    return """
+WITH counts AS (
+  SELECT doc_id, u.w AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(ws) AS u(w)
+  GROUP BY doc_id, u.w
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+       CAST(1000000 - SUM(c * c) * 1000000 // (SUM(c) * SUM(c)) AS BIGINT)
+         AS gini_ppm
+FROM counts GROUP BY doc_id
+"""

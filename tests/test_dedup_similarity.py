@@ -553,3 +553,38 @@ def test_winnow_fingerprints_matches_python_twin(spark):
     assert 0.15 * n_grams < len(got) < 0.6 * n_grams
     # cross-doc shared fingerprints exist (the match-candidate signal)
     assert any(n > 1 for *_, n in got)
+
+
+def test_gini_diversity_bounds_and_twin(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a a a a"),              # degenerate: gini = 0
+            (2, "a b c d"),              # uniform over 4: 1 - 4/16 = 750000
+            (3, "a a b"),                # 1 - (4+1)/9 = 444444 (floor 444445?)
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_sq, r.gini_ppm)
+        for r in textstats.gini_diversity(d).collect()
+    }
+    assert got[1] == (4, 16, 0)
+    assert got[2] == (4, 4, 750_000)
+    assert got[3] == (3, 5, 1_000_000 - 5 * 1_000_000 // 9)
+    # full-table python twin
+    rows = dedup.docs_table(spark, SF_TINY).collect()
+    want = {}
+    for r in rows:
+        w = r.text.split(" ")
+        from collections import Counter
+
+        c = Counter(w)
+        ss = sum(v * v for v in c.values())
+        want[r.doc_id] = (len(w), ss, 1_000_000 - ss * 1_000_000 // (len(w) ** 2))
+    full = {
+        r.doc_id: (r.n_tokens, r.sum_sq, r.gini_ppm)
+        for r in textstats.gini_diversity(
+            dedup.docs_table(spark, SF_TINY)
+        ).collect()
+    }
+    assert full == want

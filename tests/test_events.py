@@ -368,3 +368,36 @@ def test_anomalies_flags_injected_outlier(spark):
     got = {r.event_id: r.is_anomaly for r in ev.anomalies(df).collect()}
     assert got[99] == 1
     assert sum(got.values()) == 1  # only the spike is flagged
+
+
+def test_markov_transitions_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        us = int((r.ts - epoch).total_seconds() * 1_000_000 + 0.5)
+        by_user.setdefault(r.user_id, []).append((us, r.event_id, r.event_type))
+    pairs: dict[tuple, int] = {}
+    for _u, evs in by_user.items():
+        evs.sort()
+        prev = "^"
+        for _us, _eid, t in evs:
+            pairs[(prev, t)] = pairs.get((prev, t), 0) + 1
+            prev = t
+    totals: dict[str, int] = {}
+    for (p, _t), n in pairs.items():
+        totals[p] = totals.get(p, 0) + n
+    want = {
+        (p, t): (n, totals[p], n * 1_000_000 // totals[p])
+        for (p, t), n in pairs.items()
+    }
+    got = {
+        (r.prev_type, r.event_type): (r.n, r.row_total, r.p_ppm)
+        for r in ev.markov_transitions(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+    # one '^' start per user; matrix rows normalize to ~1e6 (floor rounding)
+    assert sum(n for (p, _t), (n, *_r) in got.items() if p == "^") == len(by_user)
+    for p in {p for p, _ in got}:
+        s = sum(v[2] for (pp, _t), v in got.items() if pp == p)
+        assert 1_000_000 - len([1 for (pp, _) in got if pp == p]) < s <= 1_000_000
