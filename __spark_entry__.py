@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # the END-TO-END curation funnel: quality gate -> exact dedup ->
+        # stratified sample as one relation with per-doc stage attribution
+        "curation_funnel": lambda s, d: curation.curation_funnel(
+            curation.docs_table(s, d)
+        ),
         # first-order Markov transition matrix over per-user event flows
         # ('^' = sequence start; exact integer row-normalized ppm)
         "events_markov": lambda s, d: events.markov_transitions(
@@ -376,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping": oracle_extra.hopping_rollup_sql(),
         "text_lm_score": oracle_extra.lm_scores_sql(),
         "events_markov": oracle_extra.markov_sql(),
+        "curation_funnel": oracle_extra.curation_funnel_sql(),
         "text_gini": oracle_extra.gini_sql(),
         "events_anomaly": oracle_extra.anomalies_sql(),
         "text_winnow": oracle_extra.winnow_sql(),

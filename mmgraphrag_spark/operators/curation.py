@@ -515,6 +515,60 @@ def pack_interleaved(
     )
 
 
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, q_keep, dedup_keep, sample_keep, final_keep,
+    stage): the END-TO-END curation funnel — quality gate → exact dedup →
+    stratified sample — as ONE relation with per-document stage attribution
+    (``stage`` names the FIRST filter that dropped the doc, or 'kept').
+    This is the composition a 100 TB curation run actually executes; the
+    per-stage attribution is what makes its attrition auditable (how many
+    docs did each rule cost?) and re-admittable by stage.
+
+    Composition semantics pinned for determinism: each stage is evaluated
+    corpus-wide (the dedup representative is keep-first by doc_id
+    regardless of the quality verdict), attribution is sequential. Shape at
+    scale: all three stage relations key on doc_id, so the funnel joins
+    co-partition on one exchange family; the stages themselves keep their
+    own audited plans (flat codegen gate, one content-hash exchange, zero-
+    shuffle hash sampling).
+    """
+    from . import dedup as _dedup
+
+    q = quality_gate(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    dropped = _dedup.exact_duplicates(docs.select("doc_id", "text")).select(
+        "doc_id", F.lit(0).cast("long").alias("dup_flag")
+    )
+    samp = stratified_sample(docs).select(
+        "doc_id", F.lit(1).cast("long").alias("samp_flag")
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(q, "doc_id")
+        .join(dropped, "doc_id", "left")
+        .join(samp, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "source", "q_keep",
+            F.coalesce("dup_flag", F.lit(1).cast("long")).alias("dedup_keep"),
+            F.coalesce("samp_flag", F.lit(0).cast("long")).alias("sample_keep"),
+        )
+        .select(
+            "doc_id", "lang", "source", "q_keep", "dedup_keep", "sample_keep",
+            F.expr(
+                "CASE WHEN q_keep = 1 AND dedup_keep = 1 AND sample_keep = 1"
+                " THEN 1L ELSE 0L END"
+            ).alias("final_keep"),
+            F.expr(
+                "CASE WHEN q_keep = 0 THEN 'quality'"
+                " WHEN dedup_keep = 0 THEN 'duplicate'"
+                " WHEN sample_keep = 0 THEN 'sample'"
+                " ELSE 'kept' END"
+            ).alias("stage"),
+        )
+    )
+
+
 def docs_table(spark, sf_dir: str) -> DataFrame:
     """The full documents relation (dedup.docs_table keeps only id+text)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(

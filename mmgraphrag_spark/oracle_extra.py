@@ -1333,3 +1333,30 @@ SELECT doc_id,
          AS gini_ppm
 FROM counts GROUP BY doc_id
 """
+
+
+def curation_funnel_sql() -> str:
+    """Twin of curation.curation_funnel: the three stage twins composed as
+    CTEs (each stage's own oracle SQL verbatim), sequential attribution."""
+    return f"""
+WITH q AS ({quality_gate_sql()}),
+dd AS ({dup_exact_sql()}),
+samp AS ({stratified_sample_sql()})
+SELECT d.doc_id, d.lang, d.source,
+       q.keep AS q_keep,
+       CAST(CASE WHEN dd.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS dedup_keep,
+       CAST(CASE WHEN samp.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS sample_keep,
+       CAST(CASE WHEN q.keep = 1 AND dd.doc_id IS NULL
+                      AND samp.doc_id IS NOT NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS final_keep,
+       CASE WHEN q.keep = 0 THEN 'quality'
+            WHEN dd.doc_id IS NOT NULL THEN 'duplicate'
+            WHEN samp.doc_id IS NULL THEN 'sample'
+            ELSE 'kept' END AS stage
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+LEFT JOIN dd ON d.doc_id = dd.doc_id
+LEFT JOIN samp ON d.doc_id = samp.doc_id
+"""

@@ -476,3 +476,35 @@ def test_lm_scores_matches_python_twin_and_ranks_garble_low(spark):
     scores = {r.doc_id: r.avg_ppm for r in textstats.lm_scores(aug).collect()}
     med = sorted(scores.values())[len(scores) // 2]
     assert scores[999_999] < med
+
+
+def test_curation_funnel_composition_and_attribution(spark):
+    docs = curation.docs_table(spark, SF_TINY)
+    got = {
+        r.doc_id: (r.q_keep, r.dedup_keep, r.sample_keep, r.final_keep, r.stage)
+        for r in curation.curation_funnel(docs).collect()
+    }
+    # component relations recomputed independently
+    q = {r.doc_id: r.keep for r in curation.quality_gate(docs.select("doc_id", "text")).collect()}
+    dropped = {
+        r.doc_id
+        for r in dedup.exact_duplicates(docs.select("doc_id", "text")).collect()
+    }
+    sampled = {r.doc_id for r in curation.stratified_sample(docs).collect()}
+    assert len(got) == docs.count()
+    for d, (qk, dk, sk, fk, stage) in got.items():
+        assert qk == q[d]
+        assert dk == (0 if d in dropped else 1)
+        assert sk == (1 if d in sampled else 0)
+        assert fk == (qk and dk and sk)
+        want_stage = (
+            "quality" if not qk
+            else "duplicate" if not dk
+            else "sample" if not sk
+            else "kept"
+        )
+        assert stage == want_stage
+    # the funnel is a real funnel: every stage drops someone, something survives
+    stages = {s for *_r, s in got.values()}
+    assert "kept" in stages and {"sample"} <= stages
+    assert any(fk for *_x, fk, _s in [(v[0], v[1], v[2], v[3], v[4]) for v in got.values()])
