@@ -57,6 +57,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # resource-allocation link prediction: top-k missing edges by
+        # exact-integer RA index (Zhou et al. 2009), hub-capped wedges
+        "kg_linkpred": api.linkpred,
+        # log2-bucket degree distribution (bit-length buckets, no float log)
+        "kg_degree_dist": api.degree_dist,
+        # Count-Min heavy-hitter sketch over (user:type) keys: d*w bounded
+        # state, md5-pinned so the approximate estimates value-hash exactly
+        "events_countmin": lambda s, d: sketches.countmin_heavy_hitters(
+            events.events_table(s, d), "concat(user_id, ':', event_type)"
+        ),
         # the END-TO-END curation funnel: quality gate -> exact dedup ->
         # stratified sample as one relation with per-doc stage attribution
         "curation_funnel": lambda s, d: curation.curation_funnel(
@@ -382,6 +392,9 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_score": oracle_extra.lm_scores_sql(),
         "events_markov": oracle_extra.markov_sql(),
         "curation_funnel": oracle_extra.curation_funnel_sql(),
+        "kg_linkpred": oracle.q(oracle.linkpred_ra_select()),
+        "kg_degree_dist": oracle.q(oracle.degree_dist_select()),
+        "events_countmin": oracle_extra.countmin_sql(),
         "text_gini": oracle_extra.gini_sql(),
         "events_anomaly": oracle_extra.anomalies_sql(),
         "text_winnow": oracle_extra.winnow_sql(),

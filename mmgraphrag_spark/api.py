@@ -251,6 +251,22 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DE
     return graphalgo.pagerank_weighted(n, e)
 
 
+def linkpred(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Top-k resource-allocation link predictions over the fused graph."""
+    from .operators import graphalgo
+
+    _, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.linkpred_ra(e)
+
+
+def degree_dist(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Log2-bucket degree distribution of the fused graph."""
+    from .operators import graphalgo
+
+    _, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.degree_distribution(e)
+
+
 def kcore(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     """2-core of the fused graph: pendant chains peeled off (graphalgo.py)."""
     from .operators import graphalgo

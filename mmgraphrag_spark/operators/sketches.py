@@ -36,6 +36,67 @@ RHO_CAP = 29
 ALPHA_PPM = 715270  # round(1e6 * 0.7213 / (1 + 1.079/128))
 
 
+CM_D = 4    # hash rows
+CM_W = 256  # counters per row
+
+
+def countmin_heavy_hitters(
+    df: DataFrame, key_expr: str, d: int = CM_D, w: int = CM_W
+) -> DataFrame:
+    """(key, n_exact, cm_estimate, over_pm): Count-Min sketch frequency
+    estimates (Cormode & Muthukrishnan 2005) — the streaming-state-sized
+    structure for heavy-hitter counting: ``d``×``w`` integer counters
+    REGARDLESS of stream length; an item's estimate is the MIN over its
+    ``d`` hashed counters (always an over-estimate — the ``over_pm`` column
+    shows it against the exact count). Like ``hll_distinct``, the hashes
+    are pinned to md5 so an APPROXIMATE structure passes the bit-exact
+    cross-engine value-hash gate.
+
+    Shape at scale: the sketch build explodes each item into its d rows
+    (generator) and aggregates into ≤ d·w cells — a bounded-size shuffle at
+    any volume, map-side combined; probes join the cell table back
+    BROADCAST (it is ≤1024 rows by construction). The exact count exists
+    for the parity display; production drops it (it is the full groupBy
+    the sketch replaces).
+    """
+    keyed = df.select(F.expr(key_expr).alias("k"))
+    rows = keyed.select(
+        "k", F.explode(F.expr(f"sequence(0, {d - 1})")).alias("i")
+    ).select(
+        "k", "i",
+        F.expr(
+            f"pmod(cast(conv(substr(md5(concat(i, ':', k)), 1, 15), 16, 10)"
+            f" as bigint), {w})"
+        ).alias("bucket"),
+    )
+    cells = rows.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    probes = (
+        exact.select("k")
+        .select("k", F.explode(F.expr(f"sequence(0, {d - 1})")).alias("i"))
+        .select(
+            "k", "i",
+            F.expr(
+                f"pmod(cast(conv(substr(md5(concat(i, ':', k)), 1, 15), 16, 10)"
+                f" as bigint), {w})"
+            ).alias("bucket"),
+        )
+        .join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return exact.join(probes, "k").select(
+        F.col("k").alias("key"),
+        "n_exact",
+        "cm_estimate",
+        F.expr(
+            "(cm_estimate - n_exact) * 1000000L div greatest(n_exact, 1L)"
+        ).alias("over_pm"),
+    )
+
+
 def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """(group, n_exact, hll_estimate, err_pm): per-group distinct-count
     estimate from a 128-register md5 HyperLogLog, alongside the exact count

@@ -1459,3 +1459,52 @@ def enh_edges_select() -> str:
 def q(select: str, cfg: PipelineConfig = DEFAULT) -> str:
     """Full oracle query: shared CTE prefix + a final SELECT."""
     return cte_prefix(cfg) + select
+
+
+def linkpred_ra_select(k: int = 50, max_center_deg: int = 10_000) -> str:
+    """Twin of operators/graphalgo.linkpred_ra: wedge generation with
+    center 10^6 div deg weights, existing edges anti-joined out, global
+    top-k by (ra_pm DESC, a, b)."""
+    return f"""
+, lp_sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+), lp_deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM lp_sym GROUP BY u
+), lp_posted AS MATERIALIZED (
+  SELECT e.u, e.v, 1000000 // d.deg AS cw
+  FROM lp_sym e JOIN lp_deg d ON e.u = d.u AND d.deg <= {max_center_deg}
+), lp_scored AS (
+  SELECT x.v AS a, y.v AS b,
+         CAST(COUNT(*) AS BIGINT) AS common,
+         CAST(SUM(x.cw) AS BIGINT) AS ra_pm
+  FROM lp_posted x JOIN lp_posted y ON x.u = y.u AND x.v < y.v
+  GROUP BY x.v, y.v
+), lp_nonadj AS (
+  SELECT s.* FROM lp_scored s
+  ANTI JOIN lp_sym e ON s.a = e.u AND s.b = e.v
+)
+SELECT a, b, common, ra_pm, rnk FROM (
+  SELECT a, b, common, ra_pm,
+         CAST(ROW_NUMBER() OVER (ORDER BY ra_pm DESC, a, b) AS BIGINT) AS rnk
+  FROM lp_nonadj
+) WHERE rnk <= {k}"""
+
+
+def degree_dist_select() -> str:
+    """Twin of operators/graphalgo.degree_distribution: log2 degree buckets
+    via integer bit length (length(bin(deg)) - 1 in both engines)."""
+    return """
+, dd_sym AS (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+), dd_deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM dd_sym GROUP BY u
+)
+SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(deg) AS min_deg,
+       MAX(deg) AS max_deg
+FROM dd_deg GROUP BY 1"""

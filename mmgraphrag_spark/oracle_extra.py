@@ -1360,3 +1360,38 @@ JOIN q ON d.doc_id = q.doc_id
 LEFT JOIN dd ON d.doc_id = dd.doc_id
 LEFT JOIN samp ON d.doc_id = samp.doc_id
 """
+
+
+def countmin_sql(d: int = 4, w: int = 256) -> str:
+    """Twin of sketches.countmin_heavy_hitters over (user_id:event_type)
+    keys: identical md5 row hashes, cell build, and min-probe."""
+    return f"""
+WITH keyed AS (
+  SELECT concat(user_id, ':', event_type) AS k FROM events
+),
+rows_ AS (
+  SELECT k, g.i AS i,
+         ('0x' || substr(md5(concat(g.i, ':', k)), 1, 15))::BIGINT % {w}
+           AS bucket
+  FROM keyed, UNNEST(generate_series(0, {d - 1})) AS g(i)
+),
+cells AS (
+  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM rows_ GROUP BY i, bucket
+),
+exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_exact FROM keyed GROUP BY k),
+probes AS (
+  SELECT p.k, MIN(c.c) AS cm_estimate
+  FROM (
+    SELECT e.k, g.i AS i,
+           ('0x' || substr(md5(concat(g.i, ':', e.k)), 1, 15))::BIGINT % {w}
+             AS bucket
+    FROM exact e, UNNEST(generate_series(0, {d - 1})) AS g(i)
+  ) p JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+  GROUP BY p.k
+)
+SELECT e.k AS key, e.n_exact, p.cm_estimate,
+       CAST((p.cm_estimate - e.n_exact) * 1000000
+            // greatest(e.n_exact, 1) AS BIGINT) AS over_pm
+FROM exact e JOIN probes p ON e.k = p.k
+"""

@@ -401,3 +401,36 @@ def test_markov_transitions_matches_python_twin(spark):
     for p in {p for p, _ in got}:
         s = sum(v[2] for (pp, _t), v in got.items() if pp == p)
         assert 1_000_000 - len([1 for (pp, _) in got if pp == p]) < s <= 1_000_000
+
+
+def test_countmin_matches_python_twin_and_overestimates(spark):
+    import hashlib
+
+    from mmgraphrag_spark.operators import sketches
+
+    d, w = sketches.CM_D, sketches.CM_W
+    rows = ev.events_table(spark, SF_TINY).collect()
+    keys = [f"{r.user_id}:{r.event_type}" for r in rows]
+
+    def bucket(i: int, k: str) -> int:
+        return int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16) % w
+
+    cells: dict[tuple, int] = {}
+    exact: dict[str, int] = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+        for i in range(d):
+            cells[(i, bucket(i, k))] = cells.get((i, bucket(i, k)), 0) + 1
+    want = {}
+    for k, n in exact.items():
+        est = min(cells[(i, bucket(i, k))] for i in range(d))
+        want[k] = (n, est, (est - n) * 1_000_000 // max(n, 1))
+    got = {
+        r.key: (r.n_exact, r.cm_estimate, r.over_pm)
+        for r in sketches.countmin_heavy_hitters(
+            ev.events_table(spark, SF_TINY), "concat(user_id, ':', event_type)"
+        ).collect()
+    }
+    assert got == want
+    # CM never underestimates
+    assert all(est >= n for n, est, _o in got.values())

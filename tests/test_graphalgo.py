@@ -340,3 +340,42 @@ def test_pagerank_weighted_matches_twin_and_follows_weight(spark):
     }
     assert got == rank
     assert got["heavy"] > got["l1"] == got["l2"]
+
+
+def test_linkpred_ra_finds_the_missing_edge(spark):
+    # a 4-clique missing one edge: (a, d) share two degree-3 neighbors ->
+    # ra = 2 * (1e6 // 3); plus a weakly-linked pair through a high-degree
+    # hub that must score lower
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+        # hub h connects x and y (and much else): weak evidence
+        ("x", "h"), ("y", "h"),
+    ] + [("h", f"f{i}") for i in range(10)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = [(r.a, r.b, r.common, r.ra_pm, r.rnk) for r in
+           graphalgo.linkpred_ra(edf, k=100).collect()]
+    top = got[0]
+    assert (top[0], top[1]) == ("a", "d") and top[4] == 1
+    assert top[3] == 2 * (1_000_000 // 3)
+    # (x, y) is predicted but scores below (a, d): hub down-weighting
+    xy = [g for g in got if (g[0], g[1]) == ("x", "y")]
+    assert xy and xy[0][3] == 1_000_000 // 12
+    # no existing edge ever appears
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    assert all((g[0], g[1]) not in sym for g in got)
+
+
+def test_degree_distribution_buckets(spark):
+    # degrees: a:1 b:2 c:3 hub:8 -> buckets floor(log2): 0,1,1,3
+    edges = (
+        [("a", "b"), ("b", "c"), ("c", "d")]
+        + [("hub", f"z{i}") for i in range(8)]
+    )
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.bucket: (r.n_nodes, r.min_deg, r.max_deg)
+           for r in graphalgo.degree_distribution(edf).collect()}
+    assert got[3] == (1, 8, 8)            # the hub
+    assert got[0][1] == 1                  # degree-1 leaves
+    assert sum(n for n, *_ in got.values()) == len(
+        {x for e in edges for x in e}
+    )
