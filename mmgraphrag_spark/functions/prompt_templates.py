@@ -1,13 +1,13 @@
-"""Prompt TEMPLATE DATA — not engine code.
+"""Loader for the reference's response-template DATA (not engine code).
 
-These four response templates are the reference's user-facing output
-contract for the local-query answer chain, reproduced verbatim from
-/root/reference/mmgraphrag/prompt.py:426-580 (``local_rag_response_augmented``,
+The four response templates are the reference's user-facing output contract
+for the local-query answer chain (``local_rag_response_augmented``,
 ``local_rag_response_multimodal``, ``local_rag_response_multimodal_merge``,
-``local_rag_response_merge``) so that the assembled system prompts are
-byte-identical to what a reference user's LLM receives. They are template
-STRINGS (configuration data, like the CSV context layout in query_ctx.py),
-kept in one clearly-marked module; the assembly logic lives in
+``local_rag_response_merge`` at /root/reference/mmgraphrag/prompt.py:426-580).
+They must stay byte-identical to what a reference user's LLM receives, so the
+strings live verbatim in the sibling ``prompt_templates.json`` resource —
+clearly marked configuration data, like the CSV context layout in
+query_ctx.py — and this module only loads them. The assembly logic lives in
 operators/answer.py and is original.
 
 ``DEFAULT_RESPONSE_TYPE`` mirrors QueryParam.response_type
@@ -15,133 +15,19 @@ operators/answer.py and is original.
 QueryParam.number_of_mmentities.
 """
 
-DEFAULT_RESPONSE_TYPE = "Multiple Paragraphs"
-NUM_MM_ENTITIES = 2
+import json
+import os
 
-FAIL_RESPONSE = "Sorry, I'm not able to provide an answer to that question."
+_here = os.path.dirname(os.path.abspath(__file__))
+with open(os.path.join(_here, "prompt_templates.json"), encoding="utf-8") as _f:
+    _DATA = json.load(_f)
 
-LOCAL_RAG_RESPONSE_AUGMENTED = """---Role---
+DEFAULT_RESPONSE_TYPE = _DATA["default_response_type"]
+NUM_MM_ENTITIES = _DATA["num_mm_entities"]
+FAIL_RESPONSE = _DATA["fail_response"]
 
-You are an expert assistant designed to analyze and summarize data in the provided tables accurately. Your goal is to deliver precise and relevant responses based strictly on the data presented.
-
----Goal---
-
-Generate a response of the target length and format that:
-1. Answers the user's question comprehensively, ensuring all relevant data from the input tables is summarized and analyzed appropriately.
-2. Integrates relevant general knowledge **only when necessary** to clarify or contextualize the data without introducing unsupported information.
-3. Excludes any information that lacks direct supporting evidence in the provided tables or is beyond the scope of the input.
-
----Guidelines---
-
-1. **Do Not Guess**: If the data provided does not answer the user's question or lacks sufficient evidence, state explicitly that the answer is not available from the provided data.
-2. **Data Prioritization**: Emphasize key patterns, trends, or specific insights from the data tables relevant to the question. Avoid unnecessary repetition or unrelated details.
-3. **Formatting**: Use clear, structured sections, and commentary when applicable, to organize the response. Follow any specific formatting or style indicated in the "Target response length and format."
-
----Target response length and format---
-{response_type}
-
----Data tables---
-
-{context_data}
-
----Additional Notes---
-
-- Begin with a brief summary or direct answer to the query.
-- Highlight ambiguities or limitations in the data when relevant (e.g., missing or incomplete data points).
-- Maintain objectivity and clarity in summarizing the information. Avoid assumptions or subjective interpretations not grounded in the data.
-- Use technical or domain-specific terminology appropriately to enhance precision when applicable.
-
-Include sections, commentary, and insights based on the complexity of the question and length/format requirements. Your response should reflect a balance between thoroughness and conciseness, ensuring all relevant points are covered.
-"""
-
-LOCAL_RAG_RESPONSE_MULTIMODAL = """---Role---
-
-You are an advanced multi-modal assistant, capable of analyzing and synthesizing information from structured data tables and related visual content. Your goal is to provide accurate, context-aware, and data-driven responses based on the provided inputs.
-
----Goal---
-
-Generate a response of the target length and format that:
-1. **Integrates information from multiple modalities**, including data tables and relevant images, to answer the user's question comprehensively and accurately.
-2. Identifies and utilizes **only the necessary data sources (tables or images)** directly related to the question, excluding unrelated details.
-3. Avoids unsupported assumptions or extrapolations; base your response strictly on the evidence presented.
-
----Guidelines---
-
-1. **Multi-Modal Integration**:
-   - For **data tables**: Prioritize key patterns, trends, or data points relevant to the question.
-   - For **images**: Analyze the visual content, extracting and summarizing features, objects, or relationships relevant to the query. If specific image-processing techniques (e.g., object detection, OCR, etc.) are required, focus on the results provided rather than the method used.
-   - Combine insights from both modalities when applicable, ensuring the response reflects their interplay.
-
-2. **Selective Use of Modalities**:
-   - Use only the tables or images necessary to answer the question. Clearly specify which data source(s) were used if multiple are provided.
-   - If an image or table is irrelevant to the question, state this explicitly.
-
-3. **Clarity and Precision**:
-   - Highlight ambiguities or missing information in the data (e.g., incomplete tables, unclear images) and explain how they may limit the response.
-   - Use domain-specific terminology and precise descriptions for any visual or tabular analysis.
-
-4. **No Guessing**:
-   - If the data and images do not provide sufficient evidence to answer the question, clearly state that the information is unavailable or insufficient.
-
-5. **Formatting**:
-   - Follow the response length and style specified in the "Target response length and format."
-   - Use structured sections (e.g., “Table Analysis,” “Image Analysis,” “Integrated Insights”) when the question requires insights from multiple modalities.   
-
----Target response length and format---
-{response_type}
-
----Data inputs---
-{context_data}
-
---Information about the image---
-{image_information}
-
----Additional Notes---
-
-- For visual content, focus on extracting and interpreting **salient features** directly tied to the question (e.g., spatial relationships, annotations, detected objects).
-- If the input contains **redundant or irrelevant images**, exclude them from the analysis.
-- Ensure the response captures the **contextual interplay** between table data and image details where applicable.
-
----Output---
-
-"""
-
-LOCAL_RAG_RESPONSE_MULTIMODAL_MERGE = """
-The following is a list of responses generated by a multimodal model based on the same user Query but different images. Please perform the following tasks:
-
-Analyze the Responses: Identify any contradictions, repetitions, or inconsistencies among the responses.
-Reasonably Determine: Decide which response best aligns with the user Query based on the provided information, ensuring that the determination is based on the relevance and accuracy of the information in the response rather than a majority consensus, as the correct answer may only pertain to a specific image and may not align with the majority.
-Provide a Unified Answer: Deliver a single, unified response that eliminates contradictions, resolves ambiguities, and accurately addresses the user Query.
-Additionally, retain any highly relevant information from the responses that supports or complements the unified answer.
-
-Response List:
-{mm_responses}
-
-Output:
-
-"""
-
-LOCAL_RAG_RESPONSE_MERGE = """
-You are an assistant designed to integrate answers from two models: a multimodal large language model (MM-LLM) and a text-based large language model (Text-LLM). Based on the user's query, your task is to extract and provide the most relevant and accurate result directly without additional analysis or commentary.
-
---Guidelines:
-
-Understand the Query: Ensure your final answer directly addresses the user's query and aligns with their intent. If the query involves multimodal information, prioritize the response from the MM-LLM, especially for numerical or visual insights.
-Acknowledge Multimodal Insights: If the MM-LLM provides unique insights derived from non-textual modalities (e.g., images, diagrams), include these in the response and contextualize them appropriately.
-Analyze the Responses: Identify any contradictions, repetitions, or inconsistencies among the responses.
-Reasonably Determine: Decide which response best aligns with the user Query based on the provided information, ensuring that the determination is based on the relevance and accuracy of the information in the response.
-Provide a Unified Answer: Deliver a single, unified response that eliminates contradictions, resolves ambiguities, accurately addresses the user Query，and provide it as a standalone result.
-Maintain Clarity and Precision: Ensure the result is clear, concise, and correctly reflects the information from the inputs.
-
---Format for Final Response:
-
-{response_type}
-
---Inputs:
-
-Multimodal Model Response: {mm_response}
-Single-Modal Model Response: {response}
-
---Output:
-
-"""
+_T = _DATA["templates"]
+LOCAL_RAG_RESPONSE_AUGMENTED = _T["local_rag_response_augmented"]
+LOCAL_RAG_RESPONSE_MULTIMODAL = _T["local_rag_response_multimodal"]
+LOCAL_RAG_RESPONSE_MULTIMODAL_MERGE = _T["local_rag_response_multimodal_merge"]
+LOCAL_RAG_RESPONSE_MERGE = _T["local_rag_response_merge"]
