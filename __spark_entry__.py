@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # 3-truss: edge-grain triangle-support peeling — the cohesive-core
+        # cut above kcore (converge-early engine vs fixed-unroll twin)
+        "kg_truss": api.truss,
+        # landmark closeness: L synchronized BFS waves from the top-degree
+        # landmark set, exact hop distances in integer ppm
+        "kg_closeness": api.closeness,
         # resource-allocation link prediction: top-k missing edges by
         # exact-integer RA index (Zhou et al. 2009), hub-capped wedges
         "kg_linkpred": api.linkpred,
@@ -383,6 +389,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_sq8_topk": oracle_extra.ann_sq8_topk_sql(),
         "text_bm25": oracle_extra.bm25_sql(),
         "kg_kcore": oracle.q(oracle.kcore_select()),
+        "kg_truss": oracle.q(oracle.truss_select()),
+        "kg_closeness": oracle.q(oracle.closeness_select()),
         "events_asof": oracle_extra.asof_join_sql(),
         "events_hll": oracle_extra.hll_distinct_sql(),
         "events_quantiles": oracle_extra.value_quantiles_sql(),

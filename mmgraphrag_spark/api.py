@@ -275,6 +275,24 @@ def kcore(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> Da
     return graphalgo.kcore(n, e)
 
 
+def truss(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """3-truss of the fused graph: only triangle-supported edges survive
+    (graphalgo.py support peeling)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.truss(n, e)
+
+
+def closeness(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Landmark closeness centrality: exact hop distances to the top-degree
+    landmark set, folded into the Potamias estimator (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.closeness_landmarks(n, e)
+
+
 def qctx_ppr(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
     """Personalized PageRank from the query-context seed entities — the
     query-proximity ranking that upgrades degree-only context ordering."""

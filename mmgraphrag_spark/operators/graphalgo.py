@@ -591,3 +591,186 @@ def pagerank_weighted(
     return ranks.select(
         F.col("name").alias("entity_name"), F.col("rank").alias("rank_scaled")
     )
+
+
+def truss(
+    nodes: DataFrame, edges: DataFrame, k: int = 3, max_rounds: int = 12
+) -> DataFrame:
+    """(u, v, support): the k-truss of the fused graph — the maximal
+    subgraph where every edge sits in ≥ k-2 triangles (Cohen 2008). The
+    EDGE-grain densification filter one notch stronger than :func:`kcore`:
+    a 3-truss keeps only triangle-supported relationships, which is the
+    standard "cohesive core" cut before community detection and the KG
+    analogue of dropping relationships asserted by a single uncorroborated
+    co-mention.
+
+    Peeling recurrence (identical in both engines): round i computes each
+    surviving edge's support — |N(u) ∩ N(v)| within the CURRENT edge set,
+    via wedge posting on the shared neighbor — and keeps edges with
+    support ≥ k-2. Monotone, so the DuckDB twin (`oracle.truss_select`)
+    unrolls exactly ``max_rounds`` rounds and hashes the identical
+    surviving relation; the engine converges early and raises RuntimeError
+    if still changing at ``max_rounds`` (same loud non-convergence contract
+    as :func:`connected_components`).
+
+    Scale shape: the wedge join posts both endpoints on the shared
+    neighbor — the same O(Σ deg²)-bounded enumeration as
+    :func:`neighbor_similarity`, and at production scale the same
+    ``max_center_deg`` hub cap applies (not needed for exactness here
+    because peeling only ever REMOVES edges; a capped variant under-counts
+    support and may over-peel, so the exact path is the default and the
+    cap is the documented opt-in for hub-heavy graphs). Per round: one
+    wedge self-join co-partitioned on the center key + one
+    map-side-combined count + one broadcast-sized equi-join back to the
+    canonical edge list; edge set localCheckpointed per round to keep the
+    plan flat.
+    """
+    min_support = k - 2
+    # canonical undirected edges (u < v), the relation being peeled
+    cur = (
+        symmetric_edges(edges)
+        .filter(F.col("u") < F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        support = (
+            sym.alias("x")
+            .join(sym.alias("y"), F.col("x.u") == F.col("y.u"))
+            .filter(F.col("x.v") < F.col("y.v"))
+            .select(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+            .join(
+                cur.select(F.col("u").alias("a"), F.col("v").alias("b")),
+                ["a", "b"],
+                "left_semi",
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+        nxt = (
+            cur.join(
+                support.select(
+                    F.col("a").alias("u"), F.col("b").alias("v"), "support"
+                ),
+                ["u", "v"],
+            )
+            .filter(F.col("support") >= min_support)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        n_cur = n_nxt
+    else:
+        raise RuntimeError(
+            f"truss: peeling did not converge within {max_rounds} rounds"
+        )
+    # final supports inside the converged truss (recompute once on `cur`)
+    sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.v") < F.col("y.v"))
+        .select(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+        .join(
+            cur.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            ["a", "b"],
+            "left_semi",
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"), "support")
+    )
+
+
+def closeness_landmarks(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(entity_name, reached, dist_sum, closeness_pm): landmark closeness
+    centrality — exact hop distances from every node to a fixed set of
+    ``n_landmarks`` high-degree landmark nodes, folded into the standard
+    landmark estimator closeness = reached·10⁶ div Σdist (Potamias et al.
+    2009). The all-pairs closeness a 10^12-node graph can't afford becomes
+    L parallel BFS frontiers sharing one edge relation — the scalable
+    centrality between degree (too local) and PageRank (iterative mass).
+
+    Determinism contract: landmarks are the top-``n_landmarks`` nodes by
+    (degree DESC, entity_name ASC) — a total order, so both engines pick
+    the identical set. Distances are exact unweighted hop counts computed
+    by synchronous min-relaxation: dist_0 = 0 on (landmark, landmark);
+    dist_{i+1}(s, v) = min(dist_i(s, v), 1 + min over in-neighbors u of
+    dist_i(s, u)). Monotone and bounded, so the DuckDB twin
+    (`oracle.closeness_select`) runs the same recurrence as a
+    depth-bounded recursive CTE + min fold; the engine converges early and
+    raises RuntimeError if distances are still improving at ``max_rounds``
+    (graph diameter > max_rounds ⇒ the unrolled twin would diverge too).
+    Nodes reaching zero landmarks (isolated components without one) emit
+    closeness 0, as do landmark-only singletons with dist_sum 0.
+
+    Scale shape: the state relation is O(L·|V|) rows; each round is one
+    equi-join of state×edges on the frontier key + one map-side-combined
+    min aggregation — L BFS waves amortized through a single shuffle per
+    round, the multi-source trick that makes landmark methods the
+    production answer for closeness. State localCheckpointed per round.
+    """
+    sym = symmetric_edges(edges).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    landmarks = (
+        deg.orderBy(F.desc("deg"), F.asc("u"))
+        .limit(n_landmarks)
+        .select(F.col("u").alias("seed"))
+    )
+    dist = landmarks.select(
+        "seed", F.col("seed").alias("name"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    n_cur = dist.count()
+    sum_cur = 0
+    for _ in range(max_rounds):
+        relaxed = (
+            dist.withColumnRenamed("name", "u")
+            .join(sym, "u")
+            .select("seed", F.col("v").alias("name"), (F.col("dist") + 1).alias("dist"))
+        )
+        nxt = (
+            dist.unionByName(relaxed)
+            .groupBy("seed", "name")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        agg = nxt.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
+        ).collect()[0]
+        n_nxt, sum_nxt = agg["n"], agg["s"]
+        dist = nxt
+        if n_nxt == n_cur and sum_nxt == sum_cur:
+            break
+        n_cur, sum_cur = n_nxt, sum_nxt
+    else:
+        raise RuntimeError(
+            f"closeness_landmarks: BFS did not converge within {max_rounds} rounds"
+        )
+    per_node = dist.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("reached"),
+        F.sum("dist").cast("long").alias("dist_sum"),
+    )
+    return (
+        nodes.select(F.col("entity_name").alias("name"))
+        .join(per_node, "name", "left")
+        .select(
+            F.col("name").alias("entity_name"),
+            F.coalesce(F.col("reached"), F.lit(0)).cast("long").alias("reached"),
+            F.coalesce(F.col("dist_sum"), F.lit(0)).cast("long").alias("dist_sum"),
+            F.expr(
+                "CASE WHEN coalesce(dist_sum, 0) = 0 THEN 0L "
+                "ELSE coalesce(reached, 0) * 1000000L div dist_sum END"
+            ).alias("closeness_pm"),
+        )
+    )

@@ -1508,3 +1508,91 @@ SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
        MIN(deg) AS min_deg,
        MAX(deg) AS max_deg
 FROM dd_deg GROUP BY 1"""
+
+
+def truss_select(k: int = 3, max_rounds: int = 12) -> str:
+    """Twin of operators/graphalgo.truss: support-peeling unrolled as one
+    (wedge-support, edge-filter) CTE pair per round. Peeling is monotone,
+    so unrolling exactly ``max_rounds`` rounds hashes the identical
+    surviving relation as the engine's converge-early loop (the engine
+    raises before returning anything unconverged). MATERIALIZED for the
+    same exponential-inlining reason as pagerank_select."""
+    ms = k - 2
+    s = """
+, tr_e0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges WHERE src < dst
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges WHERE dst < src
+)"""
+    for i in range(max_rounds):
+        s += f"""
+, tr_s{i} AS MATERIALIZED (
+  SELECT u, v FROM tr_e{i} UNION ALL SELECT v, u FROM tr_e{i}
+), tr_e{i + 1} AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM (
+    SELECT x.v AS a, y.v AS b, COUNT(*) AS support
+    FROM tr_s{i} x
+    JOIN tr_s{i} y ON x.u = y.u AND x.v < y.v
+    JOIN tr_e{i} e ON e.u = x.v AND e.v = y.v
+    GROUP BY x.v, y.v
+  ) WHERE support >= {ms}
+)"""
+    return (
+        s
+        + f"""
+, tr_sf AS (
+  SELECT u, v FROM tr_e{max_rounds} UNION ALL SELECT v, u FROM tr_e{max_rounds}
+)
+SELECT x.v AS u, y.v AS v, CAST(COUNT(*) AS BIGINT) AS support
+FROM tr_sf x
+JOIN tr_sf y ON x.u = y.u AND x.v < y.v
+JOIN tr_e{max_rounds} e ON e.u = x.v AND e.v = y.v
+GROUP BY x.v, y.v"""
+    )
+
+
+def closeness_select(n_landmarks: int = 8, max_rounds: int = 12) -> str:
+    """Twin of operators/graphalgo.closeness_landmarks: the synchronous
+    min-relaxation unrolled as one CTE per BFS round (the recursive-CTE
+    form would need WITH RECURSIVE at the prefix head). Monotone + the
+    engine's raise-on-non-convergence ⇒ identical fixpoint at
+    ``max_rounds``. Landmark pick is the same total order (deg DESC,
+    name ASC)."""
+    s = f"""
+, cl_sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+), cl_deg AS (
+  SELECT u, COUNT(*) AS deg FROM cl_sym GROUP BY u
+), cl_seeds AS MATERIALIZED (
+  SELECT u AS seed FROM cl_deg ORDER BY deg DESC, u ASC LIMIT {n_landmarks}
+), cl_d0 AS MATERIALIZED (
+  SELECT seed, seed AS name, CAST(0 AS BIGINT) AS dist FROM cl_seeds
+)"""
+    for i in range(max_rounds):
+        s += f"""
+, cl_d{i + 1} AS MATERIALIZED (
+  SELECT seed, name, MIN(dist) AS dist FROM (
+    SELECT seed, name, dist FROM cl_d{i}
+    UNION ALL
+    SELECT d.seed, s.v AS name, d.dist + 1 AS dist
+    FROM cl_d{i} d JOIN cl_sym s ON d.name = s.u
+  ) GROUP BY seed, name
+)"""
+    return (
+        s
+        + f"""
+, cl_pn AS (
+  SELECT name, CAST(COUNT(*) AS BIGINT) AS reached,
+         CAST(SUM(dist) AS BIGINT) AS dist_sum
+  FROM cl_d{max_rounds} GROUP BY name
+)
+SELECT n.entity_name,
+       CAST(COALESCE(p.reached, 0) AS BIGINT) AS reached,
+       CAST(COALESCE(p.dist_sum, 0) AS BIGINT) AS dist_sum,
+       CAST(CASE WHEN COALESCE(p.dist_sum, 0) = 0 THEN 0
+            ELSE COALESCE(p.reached, 0) * 1000000 // p.dist_sum END AS BIGINT)
+         AS closeness_pm
+FROM fused_nodes n LEFT JOIN cl_pn p ON n.entity_name = p.name"""
+    )

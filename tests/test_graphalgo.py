@@ -379,3 +379,110 @@ def test_degree_distribution_buckets(spark):
     assert sum(n for n, *_ in got.values()) == len(
         {x for e in edges for x in e}
     )
+
+
+def test_truss_keeps_triangle_drops_tail(spark):
+    # triangle a-b-c plus a pendant tail c-d and a disjoint pair x-y:
+    # the 3-truss is exactly the triangle, every edge with support 1
+    names = ["a", "b", "c", "d", "x", "y"]
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("x", "y")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.u, r.v): r.support for r in graphalgo.truss(ndf, edf).collect()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_truss_cascading_peel_two_rounds(spark):
+    # two triangles sharing edge b-c, plus edge c-e whose only triangle
+    # support comes through d-e; peeling d-e (support 0) must cascade:
+    # round 1 drops d-e, round 2 drops c-e/c-d... construct: triangle
+    # (b,c,d), triangle (a,b,c), chain d-e-f. d-e and e-f have support 0
+    # -> dropped round 1; the two triangles survive with b-c support 2.
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+    ]
+    names = sorted({n for e in edges for n in e})
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.u, r.v): r.support for r in graphalgo.truss(ndf, edf).collect()}
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2,
+        ("b", "d"): 1, ("c", "d"): 1,
+    }
+
+
+def _py_closeness(names, undirected_edges, n_landmarks=8):
+    """Dict-and-loop twin: exact BFS from the top-(deg, name) landmarks."""
+    from collections import deque
+
+    adj = {n: set() for n in names}
+    for a, b in undirected_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(vs) for n, vs in adj.items() if vs}
+    seeds = [u for u in sorted(deg, key=lambda u: (-deg[u], u))][:n_landmarks]
+    dist_sum = {n: 0 for n in names}
+    reached = {n: 0 for n in names}
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for v, d in dist.items():
+            if v in dist_sum:
+                dist_sum[v] += d
+                reached[v] += 1
+    return {
+        n: (
+            reached[n],
+            dist_sum[n],
+            0 if dist_sum[n] == 0 else reached[n] * 1_000_000 // dist_sum[n],
+        )
+        for n in names
+    }
+
+
+def test_closeness_matches_python_twin(spark):
+    # path graph a-b-c-d-e plus disjoint pair x-y and isolated z:
+    # with 8 landmarks every connected node is a landmark, so this is
+    # exact all-pairs closeness on each component
+    names = ["a", "b", "c", "d", "e", "x", "y", "z"]
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: (r.reached, r.dist_sum, r.closeness_pm)
+        for r in graphalgo.closeness_landmarks(ndf, edf).collect()
+    }
+    assert got == _py_closeness(names, edges)
+    # center of the path is closer to everything than the endpoint
+    assert got["c"][2] > got["a"][2]
+    # isolated node: zero landmarks reached, closeness 0
+    assert got["z"] == (0, 0, 0)
+
+
+def test_closeness_landmark_subset_is_deterministic(spark):
+    # more nodes than landmarks: L=2 must pick the two hubs by
+    # (deg DESC, name ASC) — h1 (deg 4) and h2 (deg 3); ties by name
+    edges = [
+        ("h1", "l1"), ("h1", "l2"), ("h1", "l3"), ("h1", "h2"),
+        ("h2", "m1"), ("h2", "m2"),
+    ]
+    names = sorted({n for e in edges for n in e})
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: (r.reached, r.dist_sum, r.closeness_pm)
+        for r in graphalgo.closeness_landmarks(
+            ndf, edf, n_landmarks=2
+        ).collect()
+    }
+    assert got == _py_closeness(names, edges, n_landmarks=2)
+    # every node reaches both landmarks on this connected graph
+    assert all(v[0] == 2 for v in got.values())
