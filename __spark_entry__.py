@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
+        # codegen; spans seeded deterministically from doc_id so the
+        # digit-free synthetic corpus exercises every count bucket
+        "text_pii": lambda s, d: curation.pii_scrub(
+            curation.pii_seeded_docs(curation.docs_table(s, d))
+        ),
         # 3-truss: edge-grain triangle-support peeling — the cohesive-core
         # cut above kcore (converge-early engine vs fixed-unroll twin)
         "kg_truss": api.truss,
@@ -317,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),
         "ingest_media_context": oracle.q(oracle.media_context_select(CTX_WORDS)),

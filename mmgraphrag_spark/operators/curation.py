@@ -574,3 +574,76 @@ def docs_table(spark, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source"
     )
+
+
+# PII patterns: the RE2 ∩ java.util.regex common subset ONLY (no
+# backrefs, no lookaround, ASCII \d) so the engine (Java regex) and the
+# DuckDB twin (RE2) match the exact same spans. The corpus is lowercased,
+# so the email class needs no A-Z.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE = r"\+1-\d{3}-\d{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, n_pii, redacted): PII
+    detection + redaction — the scrubbing pass every public-web
+    pretraining pipeline runs before training (Dolma's pii filter,
+    CCNet post-processing; reference scope: the reference never ships
+    user text to disk unscrubbed either, see mm_query context assembly).
+
+    Counts are taken on the ORIGINAL text (order-independent: the three
+    patterns cannot overlap — emails have no bare ``+1-`` prefix, the
+    redaction tokens contain no digits), then spans are replaced
+    email → ip → phone with typed placeholders so downstream tokenizers
+    see structure, not secrets.
+
+    Shape at scale: pure per-row JVM regexp expressions (codegen, no UDF,
+    no shuffle) — the scan cost IS the regex cost, linear in corpus bytes,
+    and the filter/projection pushes down to the parquet scan.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+                PII_IPV4, "<IP>",
+            ),
+            PII_PHONE, "<PHONE>",
+        ).alias("redacted"),
+    ).withColumn(
+        "n_pii", F.expr("n_emails + n_ipv4 + n_phones").cast("long")
+    ).select("doc_id", "n_emails", "n_ipv4", "n_phones", "n_pii", "redacted")
+
+
+def pii_seeded_docs(docs: DataFrame) -> DataFrame:
+    """The driver fixture for :func:`pii_scrub`: the synthetic corpus
+    contains no digits, so PII spans are seeded deterministically from
+    doc_id (mod-3 → email, mod-5 → ipv4, mod-7 → phone; identical integer
+    arithmetic in the DuckDB twin). This keeps the cross-engine gate
+    non-vacuous: every count bucket and every placeholder is exercised,
+    including docs carrying 2–3 PII kinds (doc_id % 15/21/35/105 == 0)."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',"
+            "   cast(doc_id AS string), '@example.com for details')"
+            "   ELSE '' END,"
+            " CASE WHEN doc_id % 5 = 0 THEN concat(' node at 10.',"
+            "   cast(doc_id % 256 AS string), '.',"
+            "   cast((doc_id div 7) % 256 AS string), '.',"
+            "   cast(doc_id % 250 AS string))"
+            "   ELSE '' END,"
+            " CASE WHEN doc_id % 7 = 0 THEN concat(' call +1-555-',"
+            "   lpad(cast(doc_id % 10000 AS string), 4, '0'), ' now')"
+            "   ELSE '' END)"
+        ).alias("text"),
+    )

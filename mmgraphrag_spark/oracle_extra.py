@@ -1395,3 +1395,47 @@ SELECT e.k AS key, e.n_exact, p.cm_estimate,
             // greatest(e.n_exact, 1) AS BIGINT) AS over_pm
 FROM exact e JOIN probes p ON e.k = p.k
 """
+
+
+def pii_sql() -> str:
+    """Twin of curation.pii_scrub over curation.pii_seeded_docs: identical
+    doc_id-seeded PII spans, RE2 patterns from the same Java∩RE2 subset,
+    and the same email → ip → phone redaction order ('g' = global, the
+    Java-regexp_replace default)."""
+    from .operators.curation import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 3 = 0
+                THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com for details') ELSE '' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN concat(' node at 10.', CAST(doc_id % 256 AS VARCHAR),
+                            '.', CAST((doc_id // 7) % 256 AS VARCHAR),
+                            '.', CAST(doc_id % 250 AS VARCHAR)) ELSE '' END,
+           CASE WHEN doc_id % 7 = 0
+                THEN concat(' call +1-555-',
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                            ' now') ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{PII_IPV4}'))
+            + len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+         AS n_pii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+         '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM seeded
+"""

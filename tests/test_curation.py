@@ -508,3 +508,49 @@ def test_curation_funnel_composition_and_attribution(spark):
     stages = {s for *_r, s in got.values()}
     assert "kept" in stages and {"sample"} <= stages
     assert any(fk for *_x, fk, _s in [(v[0], v[1], v[2], v[3], v[4]) for v in got.values()])
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    """Realistic PII fixtures: counts per kind, typed placeholders, and
+    PII-free text passing through byte-identical."""
+    rows = [
+        (1, "reach me at jane.doe+spam@mail-host.org or bob@x.io thanks"),
+        (2, "server 192.168.0.1 fell over, failover to 10.0.12.255 ok"),
+        (3, "call +1-555-0142 after 5pm"),
+        (4, "plain text with no secrets at all"),
+        (5, "mixed: a@b.co from 8.8.8.8 dial +1-555-9999 end"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in curation.pii_scrub(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (2, 0, 0)
+    assert out[1].redacted == "reach me at <EMAIL> or <EMAIL> thanks"
+    assert (out[2].n_emails, out[2].n_ipv4, out[2].n_phones) == (0, 2, 0)
+    assert "<IP>" in out[2].redacted and "192" not in out[2].redacted
+    assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 1)
+    assert out[3].redacted == "call <PHONE> after 5pm"
+    assert out[4].n_pii == 0
+    assert out[4].redacted == rows[3][1]
+    assert out[5].n_pii == 3
+    assert out[5].redacted == "mixed: <EMAIL> from <IP> dial <PHONE> end"
+
+
+def test_pii_seeded_docs_exercises_every_bucket(spark):
+    """The driver fixture plants each PII kind on its own doc_id residue
+    class, and the scrub recovers exactly those counts."""
+    docs = spark.createDataFrame(
+        [(i, "word soup") for i in range(106)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in curation.pii_scrub(
+        curation.pii_seeded_docs(docs)).collect()}
+    for i in range(106):
+        assert out[i].n_emails == (1 if i % 3 == 0 else 0), i
+        assert out[i].n_ipv4 == (1 if i % 5 == 0 else 0), i
+        assert out[i].n_phones == (1 if i % 7 == 0 else 0), i
+    # 105 carries all three kinds; the placeholders coexist
+    assert out[105].n_pii == 3
+    for tok in ("<EMAIL>", "<IP>", "<PHONE>"):
+        assert tok in out[105].redacted
