@@ -57,6 +57,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # directed shingle containment (doc-in-doc detection, Broder 1997's
+        # asymmetric sibling of Jaccard) — inverted-index join, df-capped
+        "dup_containment": lambda s, d: dedup.containment_pairs(
+            curation.docs_table(s, d), threshold=0.2
+        ),
+        # LIX readability in exact integer ppm (log/syllable-free by design)
+        "text_readability": lambda s, d: textstats.readability(
+            curation.docs_table(s, d)
+        ),
+        # market-basket association over per-user event-type sets:
+        # support / confidence / lift, exact ppm, basket-capped pair join
+        "events_lift": lambda s, d: events.cooccurrence_lift(
+            events.events_table(s, d)
+        ),
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -323,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dup_containment": oracle_extra.containment_sql(threshold=0.2),
+        "text_readability": oracle_extra.readability_sql(),
+        "events_lift": oracle_extra.cooccurrence_sql(),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

@@ -748,3 +748,54 @@ def _duplicate_clusters_star(
     ).select(
         "doc_id", F.coalesce("rep", F.col("doc_id")).alias("cluster_rep")
     )
+
+
+# ---- directed shingle containment (doc-in-doc detection) --------------------
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = 100_000,
+    cfg: PipelineConfig = DEFAULT,
+) -> DataFrame:
+    """(src, dst, containment_pm): EXACT directed shingle containment
+    C(src ⊆ dst) = |S_src ∩ S_dst| / |S_src| — the asymmetric sibling of
+    Jaccard that catches a short document embedded verbatim inside a long
+    one (quote farms, concatenated crawls), which Jaccard misses because
+    the union is dominated by the long side (Broder 1997's "containment").
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` (posting-list
+    equi-join, never all-pairs) with the same ``max_df`` stop-shingle cap
+    BEFORE the join; denominators always use the FULL per-doc set so the
+    ratio is exact whenever the pair's common shingles survive the cap. One
+    undirected intersection join feeds BOTH directions (src→dst and
+    dst→src), so the pair join runs once, not twice. Emits rows with
+    ``containment_pm >= threshold``; src == dst is excluded.
+    """
+    sh = shingle_rows(docs, cfg).dropDuplicates(["doc_id", "s"])
+    rare = (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    posted = sh.join(rare, "s")
+    inter = (
+        posted.alias("x")
+        .join(
+            posted.alias("y"),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    both = inter.selectExpr("a AS src", "b AS dst", "inter").unionByName(
+        inter.selectExpr("b AS src", "a AS dst", "inter")
+    )
+    out = both.join(
+        sizes.select(F.col("doc_id").alias("src"), F.col("n").alias("nsrc")),
+        "src",
+    ).selectExpr("src", "dst", "inter * 1000000L div nsrc AS containment_pm")
+    return out.filter(
+        F.col("containment_pm") >= int(threshold * 1_000_000)
+    ).select("src", "dst", "containment_pm")

@@ -448,3 +448,62 @@ def value_quantiles(events: DataFrame, quantiles_pm=(500_000, 900_000, 990_000))
     return ranked.groupBy("event_type").agg(
         F.max("n").alias("n"), *aggs
     )
+
+
+def cooccurrence_lift(
+    events: DataFrame, max_basket: int = 10_000, min_users: int = 1
+) -> DataFrame:
+    """(x, y, n_x, n_y, n_xy, support_ppm, confidence_ppm, lift_ppm):
+    market-basket association over per-user event-type sets (Agrawal &
+    Srikant 1994 support/confidence plus lift), all exact integer ppm with
+    N = number of distinct users:
+
+        support    = n_xy / N
+        confidence = P(y|x) = n_xy / n_x        (directed; both directions emitted)
+        lift       = P(xy) / (P(x)P(y)) = n_xy * N / (n_x * n_y)
+
+    Shape: distinct (user, type) rows -> posting-list self-join on user_id
+    (the basket IS the posting list) -> count users per unordered pair ->
+    join item marginals -> emit both directions from the one pair join.
+    ``max_basket`` drops power-user baskets whose distinct-item count
+    exceeds it BEFORE the pair join (the same hub defense as the dedup
+    inverted index: one 10^6-item basket would emit 10^12 pair rows); the
+    marginals always use ALL users. The single count N broadcasts (1-row
+    cross join). ``min_users`` prunes pairs below a support floor.
+    """
+    ut = events.select("user_id", F.col("event_type").alias("item")).distinct()
+    small = (
+        ut.groupBy("user_id").agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= max_basket)
+        .select("user_id")
+    )
+    basket = ut.join(small, "user_id")
+    pairs = (
+        basket.alias("p")
+        .join(
+            basket.alias("q"),
+            (F.col("p.user_id") == F.col("q.user_id"))
+            & (F.col("p.item") < F.col("q.item")),
+        )
+        .groupBy(F.col("p.item").alias("a"), F.col("q.item").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_users)
+    )
+    marg = ut.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    total = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    both = pairs.selectExpr("a AS x", "b AS y", "n_xy").unionByName(
+        pairs.selectExpr("b AS x", "a AS y", "n_xy")
+    )
+    return (
+        both.join(marg.selectExpr("item AS x", "n AS n_x"), "x")
+        .join(marg.selectExpr("item AS y", "n AS n_y"), "y")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "x", "y", "n_x", "n_y", "n_xy",
+            "n_xy * 1000000L div n_users AS support_ppm",
+            "n_xy * 1000000L div n_x AS confidence_ppm",
+            "n_xy * n_users * 1000000L div (n_x * n_y) AS lift_ppm",
+        )
+    )

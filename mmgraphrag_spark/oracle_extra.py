@@ -1439,3 +1439,98 @@ SELECT doc_id,
          '{PII_PHONE}', '<PHONE>', 'g') AS redacted
 FROM seeded
 """
+
+
+def containment_sql(
+    threshold: float = 0.5, max_df: int = 100_000, cfg: PipelineConfig = DEFAULT
+) -> str:
+    """Twin of dedup.containment_pairs: directed shingle containment
+    |S_src ∩ S_dst| / |S_src| with the identical stop-shingle df cap;
+    denominators from the FULL sets."""
+    t = int(threshold * 1_000_000)
+    return f"""
+WITH {_shingle_cte(cfg)},
+posted0 AS (
+  SELECT doc_id, u.s AS s FROM sh, UNNEST(sh.sh) AS u(s)
+),
+rare AS (
+  SELECT s FROM posted0 GROUP BY s HAVING count(*) <= {max_df}
+),
+posted AS (
+  SELECT p.doc_id, p.s FROM posted0 p JOIN rare r ON r.s = p.s
+),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM posted x JOIN posted y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+dirs AS (
+  SELECT a AS src, b AS dst, inter FROM inter
+  UNION ALL
+  SELECT b AS src, a AS dst, inter FROM inter
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM posted0 GROUP BY doc_id)
+SELECT b.src, b.dst, b.inter * 1000000 // s.n AS containment_pm
+FROM dirs b JOIN sizes s ON s.doc_id = b.src
+WHERE b.inter * 1000000 // s.n >= {t}
+"""
+
+
+def readability_sql() -> str:
+    """Twin of textstats.readability: integer LIX with the same greedy
+    `[^ ]{{7,}}` long-word regex and min-1 sentence floor."""
+    return """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[^ ]{7,}')) AS BIGINT) AS n_long
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences,
+       n_words * 1000000 // n_sentences AS wps_ppm,
+       n_long * 1000000 // n_words AS long_ppm,
+       n_words * 1000000 // n_sentences
+         + 100 * (n_long * 1000000 // n_words) AS lix_ppm
+FROM base
+"""
+
+
+def cooccurrence_sql(max_basket: int = 10_000, min_users: int = 1) -> str:
+    """Twin of events.cooccurrence_lift: per-user event-type baskets with
+    the identical basket-size cap on the pair join; marginals and N from
+    ALL users."""
+    return f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type AS item FROM events
+),
+small AS (
+  SELECT user_id FROM ut GROUP BY user_id HAVING count(*) <= {max_basket}
+),
+basket AS (
+  SELECT u.user_id, u.item FROM ut u JOIN small s ON s.user_id = u.user_id
+),
+pairs AS (
+  SELECT p.item AS a, q.item AS b, count(*) AS n_xy
+  FROM basket p JOIN basket q
+    ON p.user_id = q.user_id AND p.item < q.item
+  GROUP BY p.item, q.item
+  HAVING count(*) >= {min_users}
+),
+dirs AS (
+  SELECT a AS x, b AS y, n_xy FROM pairs
+  UNION ALL
+  SELECT b AS x, a AS y, n_xy FROM pairs
+),
+marg AS (SELECT item, count(*) AS n FROM ut GROUP BY item),
+total AS (SELECT count(DISTINCT user_id) AS n_users FROM ut)
+SELECT b.x, b.y, mx.n AS n_x, my.n AS n_y, b.n_xy,
+       b.n_xy * 1000000 // t.n_users AS support_ppm,
+       b.n_xy * 1000000 // mx.n AS confidence_ppm,
+       b.n_xy * t.n_users * 1000000 // (mx.n * my.n) AS lift_ppm
+FROM dirs b
+JOIN marg mx ON mx.item = b.x
+JOIN marg my ON my.item = b.y
+CROSS JOIN total t
+"""

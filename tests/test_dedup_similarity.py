@@ -588,3 +588,104 @@ def test_gini_diversity_bounds_and_twin(spark):
         ).collect()
     }
     assert full == want
+
+
+def test_containment_exact_vs_python(spark):
+    """Directed containment equals the in-memory set computation, is
+    asymmetric in general, and contains the Jaccard relation: for any pair
+    both engines emit, jaccard <= min(containment) always."""
+    docs = dedup.docs_table(spark, SF_TINY)
+    got = {
+        (r.src, r.dst): r.containment_pm
+        for r in dedup.containment_pairs(docs, threshold=0.2).collect()
+    }
+    pdf = docs.toPandas()
+    k = 3
+    sets = {
+        r.doc_id: {
+            " ".join(r.text.split()[j:j + k])
+            for j in range(max(len(r.text.split()) - k, 0) + 1)
+        }
+        for r in pdf.itertuples()
+    }
+    want = {}
+    ids = sorted(sets)
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            c = inter * 1_000_000 // len(sets[a])
+            if c >= 200_000:
+                want[(a, b)] = c
+    assert got == want
+    jac = {
+        (r.a, r.b): r.jaccard_pm
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    for (a, b), j in jac.items():
+        for d in ((a, b), (b, a)):
+            if d in got:
+                assert j <= got[d]
+
+
+def test_containment_catches_embedded_short_doc(spark):
+    """A short doc pasted verbatim inside a long one: containment(short ⊆
+    long) = 10^6 while Jaccard stays below a 0.5 threshold — the exact case
+    the asymmetric measure exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    got = {
+        (r.src, r.dst): r.containment_pm
+        for r in dedup.containment_pairs(docs, threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == 1_000_000
+    assert got[(2, 1)] < 500_000
+    assert (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+    )
+
+
+def test_containment_df_cap_is_pre_join(spark):
+    """max_df=1 drops every shared shingle before the pair join."""
+    docs = dedup.docs_table(spark, SF_TINY)
+    assert dedup.containment_pairs(docs, threshold=0.0, max_df=1).count() == 0
+
+
+def test_readability_matches_python_twin(spark):
+    rows = dedup.docs_table(spark, SF_TINY).collect()
+    want = {}
+    import re
+    for r in rows:
+        nw = len(r.text.split(" "))
+        ns = max(len(re.findall(r"[.!?]+", r.text)), 1)
+        nl = len(re.findall(r"[^ ]{7,}", r.text))
+        wps = nw * 1_000_000 // ns
+        lng = nl * 1_000_000 // nw
+        want[r.doc_id] = (nw, ns, wps, lng, wps + 100 * lng)
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.wps_ppm, r.long_ppm, r.lix_ppm)
+        for r in textstats.readability(
+            dedup.docs_table(spark, SF_TINY)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_readability_ranks_dense_prose_harder(spark):
+    """Long-worded, long-sentence text scores above short choppy text."""
+    docs = spark.createDataFrame(
+        [
+            (1, "institutional considerations notwithstanding "
+                "parliamentary procedures demand exhaustive deliberation."),
+            (2, "See spot. Spot runs. Run spot run. Go now."),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x.lix_ppm for x in textstats.readability(docs).collect()}
+    assert r[1] > r[2]

@@ -434,3 +434,58 @@ def test_countmin_matches_python_twin_and_overestimates(spark):
     assert got == want
     # CM never underestimates
     assert all(est >= n for n, est, _o in got.values())
+
+
+def test_cooccurrence_lift_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    baskets = {}
+    for r in rows:
+        baskets.setdefault(r.user_id, set()).add(r.event_type)
+    n_users = len(baskets)
+    marg = {}
+    for items in baskets.values():
+        for i in items:
+            marg[i] = marg.get(i, 0) + 1
+    pair = {}
+    for items in baskets.values():
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    want = {}
+    for (a, b), nxy in pair.items():
+        for x, y in ((a, b), (b, a)):
+            want[(x, y)] = (
+                marg[x], marg[y], nxy,
+                nxy * 1_000_000 // n_users,
+                nxy * 1_000_000 // marg[x],
+                nxy * n_users * 1_000_000 // (marg[x] * marg[y]),
+            )
+    got = {
+        (r.x, r.y): (r.n_x, r.n_y, r.n_xy, r.support_ppm,
+                     r.confidence_ppm, r.lift_ppm)
+        for r in ev.cooccurrence_lift(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+
+
+def test_cooccurrence_basket_cap_drops_power_users(spark):
+    """A user whose basket exceeds max_basket contributes to NO pair (the
+    cap is pre-join), but still counts in the marginals and N — so lift for
+    surviving pairs shifts down, never silently recomputes on a subset."""
+    data = [
+        (1, "a"), (1, "b"), (1, "c"),   # power user, basket 3
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+    ]
+    df = spark.createDataFrame(data, "user_id long, event_type string")
+    capped = {
+        (r.x, r.y): r.n_xy
+        for r in ev.cooccurrence_lift(df, max_basket=2).collect()
+    }
+    assert capped[("a", "b")] == 2  # users 2,3 only; power user excluded
+    assert ("a", "c") not in capped
+    full = {
+        (r.x, r.y): r.n_xy for r in ev.cooccurrence_lift(df).collect()
+    }
+    assert full[("a", "b")] == 3 and full[("a", "c")] == 1
