@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lift": lambda s, d: events.cooccurrence_lift(
             events.events_table(s, d)
         ),
+        # strongly connected components of the DIRECTED fused graph
+        # (trim + FW-BW min-label peeling; closed-form mutual-reach twin)
+        "kg_scc": api.scc,
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -340,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_containment": oracle_extra.containment_sql(threshold=0.2),
         "text_readability": oracle_extra.readability_sql(),
         "events_lift": oracle_extra.cooccurrence_sql(),
+        "kg_scc": oracle.q(oracle.scc_select()),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

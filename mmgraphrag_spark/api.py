@@ -506,3 +506,12 @@ def local_answer_prompts(
     chain = answer.assemble_answer_chain(context, ents_csv, info, rt)
     chain["context"] = context
     return chain
+
+
+def scc(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Strongly connected components of the DIRECTED fused graph (triples
+    keep their subj→obj orientation here) — trim + FW-BW peeling."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.strongly_connected_components(n, e)

@@ -774,3 +774,148 @@ def closeness_landmarks(
             ).alias("closeness_pm"),
         )
     )
+
+
+def strongly_connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_outer: int = 40,
+    max_inner: int = 64,
+) -> DataFrame:
+    """(entity_name, scc): strongly connected components of the DIRECTED
+    fused graph (triples are subj→obj; the undirected `connected_components`
+    deliberately forgets that), labeled by each SCC's lexicographically-
+    minimal member. Cycles in a KG mark mutually-defining entity groups —
+    exactly what a canonicalization audit wants surfaced.
+
+    Trim + FW-BW min-label peeling — the published scalable decomposition
+    (Slota/Rajamanickam/Madduri 2014; Hong et al. 2013), not Tarjan, which
+    is inherently sequential:
+
+      outer round = (a) TRIM: any active node with in-degree 0 or
+      out-degree 0 in the active subgraph is a singleton SCC — remove
+      (peels DAG tails/chains in O(longest dangling path) rounds); else
+      (b) FW/BW: propagate min labels to fixpoint along out-edges
+      (f = min forward-reachable) and in-edges (b = min backward-
+      reachable); nodes with f == b are exactly the SCCs of those label
+      nodes (m ∈ fwd(v) ∩ bwd(v) = SCC(v), and a min of the supersets
+      that lands in the intersection is the intersection's min) — emit
+      and remove. The globally-minimal active node always finalizes, so
+      every (b) round retires ≥1 SCC.
+
+    Per round: degree aggregations + semi/anti equi-joins only, all
+    map-side combinable; active relations localCheckpointed so plans stay
+    flat (the label-propagation lesson in PLANS.md). Loud RuntimeError on
+    non-convergence in either loop — unconverged labels are wrong labels.
+    The DuckDB twin is closed-form mutual reachability (recursive CTE
+    self-join), so no unroll-depth coupling exists between the engines.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    act = (
+        nodes.select(F.col("entity_name").alias("name"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done: DataFrame | None = None
+
+    def _emit(part: DataFrame) -> None:
+        nonlocal done
+        part = part.localCheckpoint(eager=True)
+        done = part if done is None else done.unionByName(part)
+
+    for _ in range(max_outer):
+        if act.isEmpty():
+            break
+        has_out = e.select(F.col("src").alias("name")).distinct()
+        has_in = e.select(F.col("dst").alias("name")).distinct()
+        trimmed = (
+            act.join(has_out, "name", "left_anti")
+            .unionByName(act.join(has_in, "name", "left_anti"))
+            .distinct()
+        )
+        if not trimmed.isEmpty():
+            _emit(trimmed.select(
+                F.col("name").alias("entity_name"), F.col("name").alias("scc")
+            ))
+            act = act.join(trimmed, "name", "left_anti").localCheckpoint(eager=True)
+            e = (
+                e.join(trimmed.select(F.col("name").alias("src")), "src", "left_anti")
+                .join(trimmed.select(F.col("name").alias("dst")), "dst", "left_anti")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            continue
+        # FW/BW min-label fixpoint on the (now trim-free) active subgraph
+        lab = act.select(
+            "name", F.col("name").alias("f"), F.col("name").alias("b")
+        ).localCheckpoint(eager=True)
+        for _i in range(max_inner):
+            fwd = (
+                e.join(
+                    lab.select(F.col("name").alias("dst"), F.col("f").alias("nf")),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("name"))
+                .agg(F.min("nf").alias("nf"))
+            )
+            bwd = (
+                e.join(
+                    lab.select(F.col("name").alias("src"), F.col("b").alias("nb")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("name"))
+                .agg(F.min("nb").alias("nb"))
+            )
+            new = (
+                lab.join(fwd, "name", "left")
+                .join(bwd, "name", "left")
+                .select(
+                    "name",
+                    F.least("f", F.coalesce("nf", F.col("f"))).alias("f"),
+                    F.least("b", F.coalesce("nb", F.col("b"))).alias("b"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.alias("n")
+                .join(lab.alias("o"), "name")
+                .filter(
+                    (F.col("n.f") != F.col("o.f")) | (F.col("n.b") != F.col("o.b"))
+                )
+                .count()
+            )
+            lab = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc: FW/BW label fixpoint still changing after {max_inner} "
+                "rounds; raise max_inner — unconverged labels are wrong labels"
+            )
+        fin = lab.filter(F.col("f") == F.col("b"))
+        _emit(fin.select(
+            F.col("name").alias("entity_name"), F.col("f").alias("scc")
+        ))
+        fin_names = fin.select("name").localCheckpoint(eager=True)
+        act = act.join(fin_names, "name", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(fin_names.select(F.col("name").alias("src")), "src", "left_anti")
+            .join(fin_names.select(F.col("name").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"scc: active nodes remain after {max_outer} outer rounds; raise "
+            "max_outer — returning a partial decomposition would mislabel"
+        )
+    if done is None:
+        return nodes.select(
+            F.col("entity_name"), F.col("entity_name").alias("scc")
+        ).limit(0)
+    return done.select("entity_name", "scc")

@@ -1596,3 +1596,22 @@ SELECT n.entity_name,
          AS closeness_pm
 FROM fused_nodes n LEFT JOIN cl_pn p ON n.entity_name = p.name"""
     )
+
+
+def scc_select() -> str:
+    """Twin of operators/graphalgo.strongly_connected_components: closed-
+    form mutual reachability — reach(u,v) via a recursive CTE over the
+    directed edges, SCC(u) = {v : reach(u,v) AND reach(v,u)}, label =
+    MIN over that set (u itself is in it via the base rows). No unroll
+    depth to keep in sync with the engine's peeling loop."""
+    return """
+, scc_edges AS MATERIALIZED (
+  SELECT DISTINCT src AS u, dst AS v FROM fused_edges WHERE src <> dst
+), scc_reach AS (
+  SELECT entity_name AS u, entity_name AS v FROM fused_nodes
+  UNION
+  SELECT r.u, e.v FROM scc_reach r JOIN scc_edges e ON e.u = r.v
+)
+SELECT r1.u AS entity_name, MIN(r1.v) AS scc
+FROM scc_reach r1 JOIN scc_reach r2 ON r1.u = r2.v AND r1.v = r2.u
+GROUP BY r1.u"""

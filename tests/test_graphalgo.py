@@ -486,3 +486,76 @@ def test_closeness_landmark_subset_is_deterministic(spark):
     assert got == _py_closeness(names, edges, n_landmarks=2)
     # every node reaches both landmarks on this connected graph
     assert all(v[0] == 2 for v in got.values())
+
+
+def _py_scc(names, directed_edges):
+    """Mutual reachability by brute force (the DuckDB twin's shape)."""
+    reach = {n: {n} for n in names}
+    changed = True
+    while changed:
+        changed = False
+        for u, v in directed_edges:
+            for s in list(reach):
+                if u in reach[s] and v not in reach[s]:
+                    reach[s].add(v)
+                    changed = True
+    return {
+        u: min(v for v in reach[u] if u in reach[v]) for u in names
+    }
+
+
+def test_scc_cycle_chain_and_isolate(spark):
+    # directed 3-cycle a->b->c->a (SCC 'a'); chain p->q->r (3 singletons
+    # — forward-reachable but never mutually); isolate z; plus a bridge
+    # c->p so the whole thing is ONE weak component but 5 SCCs
+    names = ["a", "b", "c", "p", "q", "r", "z"]
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "p"),
+             ("p", "q"), ("q", "r")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: r.scc
+        for r in graphalgo.strongly_connected_components(ndf, edf).collect()
+    }
+    assert got == _py_scc(names, edges)
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "p": "p", "q": "q", "r": "r", "z": "z"}
+    # sanity: undirected components would have merged the chain into 'a'
+    cc = {
+        r.entity_name: r.component
+        for r in graphalgo.connected_components(ndf, edf).collect()
+    }
+    assert cc["r"] == "a"
+
+
+def test_scc_two_cycles_joined_by_dag_edge(spark):
+    # two 2-cycles linked one-way: {a,b} and {m,n} stay separate SCCs; the
+    # trim step never fires (no in/out-deg-0 node), so this exercises the
+    # FW/BW finalize-and-peel path for BOTH rounds
+    names = ["a", "b", "m", "n"]
+    edges = [("a", "b"), ("b", "a"), ("b", "m"), ("m", "n"), ("n", "m")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: r.scc
+        for r in graphalgo.strongly_connected_components(ndf, edf).collect()
+    }
+    assert got == {"a": "a", "b": "a", "m": "m", "n": "m"}
+
+
+def test_scc_matches_python_twin_on_fixture_graph(spark):
+    # randomized-shape (but seeded/deterministic) digraph vs brute force
+    names = [f"v{i:02d}" for i in range(14)]
+    edges = []
+    for i in range(14):
+        edges.append((names[i], names[(i * 3 + 1) % 14]))
+        if i % 2 == 0:
+            edges.append((names[(i * 5 + 2) % 14], names[i]))
+    edges = sorted(set((u, v) for u, v in edges if u != v))
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: r.scc
+        for r in graphalgo.strongly_connected_components(ndf, edf).collect()
+    }
+    assert got == _py_scc(names, edges)
