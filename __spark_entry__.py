@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strongly connected components of the DIRECTED fused graph
         # (trim + FW-BW min-label peeling; closed-form mutual-reach twin)
         "kg_scc": api.scc,
+        # HITS hubs/authorities on the directed graph — max-normalized
+        # exact-integer recurrence (unrolled-CTE twin)
+        "kg_hits": api.hits,
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -344,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "text_readability": oracle_extra.readability_sql(),
         "events_lift": oracle_extra.cooccurrence_sql(),
         "kg_scc": oracle.q(oracle.scc_select()),
+        "kg_hits": oracle.q(oracle.hits_select()),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

@@ -515,3 +515,11 @@ def scc(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> Data
 
     n, e = fused_graph(spark, sf_dir, cfg)
     return graphalgo.strongly_connected_components(n, e)
+
+
+def hits(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED fused graph (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.hits(n, e)

@@ -919,3 +919,82 @@ def strongly_connected_components(
             F.col("entity_name"), F.col("entity_name").alias("scc")
         ).limit(0)
     return done.select("entity_name", "scc")
+
+
+def hits(
+    nodes: DataFrame, edges: DataFrame, iters: int = 5, scale: int = SCALE
+) -> DataFrame:
+    """(entity_name, hub_scaled, auth_scaled): HITS (Kleinberg 1999) over
+    the DIRECTED fused graph — authorities are entities many hub entities
+    point at via triples; the directed complement to (undirected) PageRank.
+
+    Exact integer contract, bit-reproducible under any partitioning:
+
+    * h_0(v) = a_0(v) = ``scale``;
+    * raw_a(v) = Σ_{u→v} h(u);  a'(v) = raw_a(v)·scale div max_v raw_a
+    * raw_h(v) = Σ_{v→w} a'(w); h'(v) = raw_h(v)·scale div max_v raw_h
+
+    The product raw·scale runs in DECIMAL(38,0) (HUGEINT in the twin) —
+    raw can reach deg_max·scale, so the int64 intermediate would overflow
+    on any hubby graph; `div` on decimals is still exact integral floor.
+    Max-normalization replaces the usual L2 norm: same fixpoint direction,
+    but integer-exact and bounded in [0, scale] every round (an L2 norm
+    would force floats and break the cross-engine value hash). The max is
+    a 1-row aggregate per round — a broadcast, not a shuffle of the state.
+    Nodes with no in-edges (resp. out-edges) coalesce to 0 — sinks are
+    pure authorities, sources pure hubs. Twin: `oracle.hits_select`
+    unrolls the identical recurrence as chained MATERIALIZED CTEs.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = nodes.select(
+        F.col("entity_name").alias("name"),
+        F.lit(scale).cast("long").alias("h"),
+        F.lit(scale).cast("long").alias("a"),
+    )
+    for _ in range(iters):
+        raw_a = (
+            e.join(state.select(F.col("name").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("name"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        amax = raw_a.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+        a_n = (
+            state.select("name")
+            .join(raw_a, "name", "left")
+            .crossJoin(F.broadcast(amax))
+            .selectExpr(
+                "name",
+                "cast(cast(coalesce(raw, 0L) AS DECIMAL(38,0))"
+                f" * {scale} div mx AS LONG) AS a",
+            )
+        )
+        raw_h = (
+            e.join(a_n.select(F.col("name").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("name"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hmax = raw_h.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+        h_n = (
+            state.select("name")
+            .join(raw_h, "name", "left")
+            .crossJoin(F.broadcast(hmax))
+            .selectExpr(
+                "name",
+                "cast(cast(coalesce(raw, 0L) AS DECIMAL(38,0))"
+                f" * {scale} div mx AS LONG) AS h",
+            )
+        )
+        state = (
+            h_n.join(a_n, "name").select("name", "h", "a")
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("name").alias("entity_name"),
+        F.col("h").alias("hub_scaled"),
+        F.col("a").alias("auth_scaled"),
+    )

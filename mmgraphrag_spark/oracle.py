@@ -1615,3 +1615,45 @@ def scc_select() -> str:
 SELECT r1.u AS entity_name, MIN(r1.v) AS scc
 FROM scc_reach r1 JOIN scc_reach r2 ON r1.u = r2.v AND r1.v = r2.u
 GROUP BY r1.u"""
+
+
+def hits_select(iters: int = 5, scale: int = 1_000_000_000) -> str:
+    """Twin of operators/graphalgo.hits: the max-normalized integer HITS
+    recurrence unrolled as chained MATERIALIZED CTEs (the pagerank_select
+    inlining lesson applies — each round references the previous twice)."""
+    s = """
+, ht_edges AS MATERIALIZED (
+  SELECT DISTINCT src AS u, dst AS v FROM fused_edges WHERE src <> dst
+), ht_s0 AS MATERIALIZED (
+  SELECT entity_name AS name,
+         CAST({sc} AS BIGINT) AS h, CAST({sc} AS BIGINT) AS a
+  FROM fused_nodes
+)""".format(sc=scale)
+    for i in range(iters):
+        s += f"""
+, ht_ra{i} AS MATERIALIZED (
+  SELECT e.v AS name, SUM(p.h) AS raw
+  FROM ht_edges e JOIN ht_s{i} p ON e.u = p.name GROUP BY e.v
+), ht_a{i} AS MATERIALIZED (
+  SELECT n.name,
+         CAST(COALESCE(r.raw, 0)::HUGEINT * {scale}
+              // greatest((SELECT MAX(raw) FROM ht_ra{i}), 1)
+              AS BIGINT) AS a
+  FROM ht_s{i} n LEFT JOIN ht_ra{i} r ON n.name = r.name
+), ht_rh{i} AS MATERIALIZED (
+  SELECT e.u AS name, SUM(p.a) AS raw
+  FROM ht_edges e JOIN ht_a{i} p ON e.v = p.name GROUP BY e.u
+), ht_s{i + 1} AS MATERIALIZED (
+  SELECT n.name,
+         CAST(COALESCE(r.raw, 0)::HUGEINT * {scale}
+              // greatest((SELECT MAX(raw) FROM ht_rh{i}), 1)
+              AS BIGINT) AS h,
+         a.a AS a
+  FROM ht_s{i} n
+  LEFT JOIN ht_rh{i} r ON n.name = r.name
+  JOIN ht_a{i} a ON n.name = a.name
+)"""
+    return s + (
+        f"\nSELECT name AS entity_name, h AS hub_scaled, a AS auth_scaled"
+        f" FROM ht_s{iters}"
+    )

@@ -559,3 +559,56 @@ def test_scc_matches_python_twin_on_fixture_graph(spark):
         for r in graphalgo.strongly_connected_components(ndf, edf).collect()
     }
     assert got == _py_scc(names, edges)
+
+
+def _py_hits(names, directed_edges, iters=5, scale=graphalgo.SCALE):
+    h = {n: scale for n in names}
+    a = {n: scale for n in names}
+    for _ in range(iters):
+        ra = {n: 0 for n in names}
+        for u, v in directed_edges:
+            ra[v] += h[u]
+        mx = max(max(ra.values()), 1)
+        a = {n: ra[n] * scale // mx for n in names}
+        rh = {n: 0 for n in names}
+        for u, v in directed_edges:
+            rh[u] += a[v]
+        mx = max(max(rh.values()), 1)
+        h = {n: rh[n] * scale // mx for n in names}
+    return h, a
+
+
+def test_hits_matches_python_twin(spark):
+    # hub x points at three authorities; y points at one; chain adds noise
+    names = ["x", "y", "p", "q", "r", "s"]
+    edges = [("x", "p"), ("x", "q"), ("x", "r"), ("y", "p"),
+             ("r", "s"), ("s", "r")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: (r.hub_scaled, r.auth_scaled)
+        for r in graphalgo.hits(ndf, edf).collect()
+    }
+    h, a = _py_hits(names, edges)
+    assert got == {n: (h[n], a[n]) for n in names}
+    # x is the best hub; p the best authority (two in-links)
+    assert got["x"][0] == max(v[0] for v in got.values())
+    assert got["p"][1] == max(v[1] for v in got.values())
+    # sinks are zero hubs; sources are zero authorities
+    assert got["p"][0] == 0 and got["x"][1] == 0
+
+
+def test_hits_hub_degree_beyond_int64_scale(spark):
+    # 20 hubs all pointing at one authority: raw_a = 20e9, and raw*scale
+    # would be 2e19 > int64 max — the DECIMAL(38,0) product must carry it
+    names = [f"h{i:02d}" for i in range(20)] + ["star"]
+    edges = [(f"h{i:02d}", "star") for i in range(20)]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: (r.hub_scaled, r.auth_scaled)
+        for r in graphalgo.hits(ndf, edf).collect()
+    }
+    h, a = _py_hits(names, edges)
+    assert got == {n: (h[n], a[n]) for n in names}
+    assert got["star"][1] == graphalgo.SCALE
