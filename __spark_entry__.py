@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HITS hubs/authorities on the directed graph — max-normalized
         # exact-integer recurrence (unrolled-CTE twin)
         "kg_hits": api.hits,
+        # SemDeDup-style semantic duplicate clusters: LSH-verified embedding
+        # pairs + large/small-star collapse (compositional twin)
+        "dup_semantic_clusters": lambda s, d: dedup.semantic_clusters(s, d),
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -348,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "events_lift": oracle_extra.cooccurrence_sql(),
         "kg_scc": oracle.q(oracle.scc_select()),
         "kg_hits": oracle.q(oracle.hits_select()),
+        "dup_semantic_clusters": oracle_extra.semantic_clusters_sql(),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

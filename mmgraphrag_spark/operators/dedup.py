@@ -799,3 +799,42 @@ def containment_pairs(
     return out.filter(
         F.col("containment_pm") >= int(threshold * 1_000_000)
     ).select("src", "dst", "containment_pm")
+
+
+def semantic_clusters(
+    spark, sf_dir: str, cos_threshold: float = 0.4,
+    tables: int = 8, planes: int = 3, method: str = "star",
+) -> DataFrame:
+    """(vec_id, cluster_rep): SemDeDup-style semantic duplicate clusters
+    (Abbas et al. 2023) — connected components over the embedding
+    near-duplicate pair graph, representative = min vec_id. The curation
+    move this enables: keep one exemplar per semantic cluster instead of
+    per byte-identical blob, which removes paraphrase/mirror redundancy
+    exact dedup can't see.
+
+    Pure composition of two already-audited stages: LSH-bucketed +
+    exact-integer-verified pairs (`embedding_near_duplicates` — equi-join
+    on (table, bucket), never all-pairs) feeding the large/small-star
+    collapse (`duplicate_clusters`, O(log n) rounds). The DuckDB twin
+    composes the pair twin with the recursive-closure twin VERBATIM, so
+    verification is compositional too.
+    """
+    pairs = embedding_near_duplicates(
+        spark, sf_dir, cos_threshold, tables, planes
+    ).select("a", "b")
+    # Dataset.(local)Checkpoint on this plan OOMs the driver in Spark 4.1's
+    # checkpoint plan normalization (the 8-table LSH + flat-dot subtree is
+    # ~10^5 expression nodes; count()/collect() handle it, checkpoint's
+    # transformDown does not) — cut lineage with an RDD round-trip instead,
+    # so the collapse loop below checkpoints only small post-cut frames.
+    # The pair list is bounded by true near-duplicates, and a production
+    # run would checkpoint it to the work_dir anyway (plans/pipeline.py),
+    # which cuts lineage identically.
+    pairs = spark.createDataFrame(pairs.rdd, pairs.schema)
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    out = duplicate_clusters(vecs, pairs, method=method)
+    return out.select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_rep")
+    )

@@ -1534,3 +1534,39 @@ JOIN marg mx ON mx.item = b.x
 JOIN marg my ON my.item = b.y
 CROSS JOIN total t
 """
+
+
+def semantic_clusters_sql(
+    cos_threshold: float = 0.4, tables: int = 8, planes: int = 3
+) -> str:
+    """Twin of dedup.semantic_clusters: the dup_embedding_sql pair relation
+    verbatim, closed under a recursive min-reachability CTE over vec_ids."""
+    t2 = int(round(cos_threshold * cos_threshold * 10_000))
+    dot = _dot_expr("a.q", "b.q")
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {_bucket_expr('q', t, planes)} AS bucket, {t} AS tbl FROM qn"
+        for t in range(tables)
+    )
+    return f"""
+WITH RECURSIVE {_QE},
+qb AS ({per_table}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM qb x JOIN qb y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+pairs AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN qn a ON a.vec_id = c.a JOIN qn b ON b.vec_id = c.b
+  WHERE {dot} > 0 AND {dot} * {dot} * 10000 >= {t2} * a.n * b.n
+),
+edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(x, y) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+)
+SELECT x AS vec_id, min(y) AS cluster_rep FROM reach GROUP BY x
+"""

@@ -689,3 +689,36 @@ def test_readability_ranks_dense_prose_harder(spark):
     )
     r = {x.doc_id: x.lix_ppm for x in textstats.readability(docs).collect()}
     assert r[1] > r[2]
+
+
+def test_semantic_clusters_compose_pairs_and_collapse(spark):
+    """Cluster relation == python closure over the engine's own verified
+    pair list; every vec appears exactly once; reps are component minima."""
+    got = {
+        r.vec_id: r.cluster_rep
+        for r in dedup.semantic_clusters(spark, SF_TINY).collect()
+    }
+    pairs = [
+        (r.a, r.b)
+        for r in dedup.embedding_near_duplicates(spark, SF_TINY).collect()
+    ]
+    import duckdb
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{SF_TINY}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert len(got) == n
+    # union-find closure
+    parent = {v: v for v in got}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in got}
+    assert got == want
+    # at least one non-trivial cluster exists at this sf (61 pairs)
+    assert any(v != k for k, v in got.items())
