@@ -80,6 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup-style semantic duplicate clusters: LSH-verified embedding
         # pairs + large/small-star collapse (compositional twin)
         "dup_semantic_clusters": lambda s, d: dedup.semantic_clusters(s, d),
+        # URL canonicalization + keep-first crawl dedup (seeded fixture:
+        # scheme/www/case/port/tracking-params/fragment/trailing-slash)
+        "curation_urls": lambda s, d: curation.url_normalize(
+            curation.url_seeded_docs(curation.docs_table(s, d))
+        ),
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -352,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_scc": oracle.q(oracle.scc_select()),
         "kg_hits": oracle.q(oracle.hits_select()),
         "dup_semantic_clusters": oracle_extra.semantic_clusters_sql(),
+        "curation_urls": oracle_extra.url_normalize_sql(),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

@@ -647,3 +647,99 @@ def pii_seeded_docs(docs: DataFrame) -> DataFrame:
             "   ELSE '' END)"
         ).alias("text"),
     )
+
+
+def url_seeded_docs(docs: DataFrame) -> DataFrame:
+    """Driver fixture for :func:`url_normalize`: the synthetic corpus has no
+    URLs, so one is seeded per doc from doc_id, deliberately covering every
+    normalization rule — scheme http/https (mod 2), `www.` prefix (mod 3),
+    UPPERCASE host (mod 5), default port :80 (mod 13), tracking params
+    utm_source/gclid (mod 4 / mod 9, with a KEPT param `ref` on mod 6 to
+    prove selective removal + reordering), fragment (mod 11), trailing
+    slash (mod 7). Hosts collide mod 50 and paths mod 100, so canonical
+    URLs genuinely duplicate across docs (groups of ~5 at 500 docs) and
+    the keep-first rank is non-vacuous. Same integer arithmetic in the
+    DuckDB twin."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat("
+            " CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END,"
+            " CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,"
+            " CASE WHEN doc_id % 5 = 0"
+            "   THEN concat('SITE', cast(doc_id % 50 AS string), '.EXAMPLE.ORG')"
+            "   ELSE concat('site', cast(doc_id % 50 AS string), '.example.org')"
+            " END,"
+            " CASE WHEN doc_id % 13 = 0 THEN ':80' ELSE '' END,"
+            " '/p/', cast(doc_id % 100 AS string),"
+            " CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,"
+            " CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss'"
+            "   WHEN doc_id % 9 = 0 THEN '?gclid=abc&b=2&a=1'"
+            "   WHEN doc_id % 6 = 0 THEN '?ref=home&utm_campaign=x'"
+            "   ELSE '' END,"
+            " CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END)"
+        ).alias("url"),
+    )
+
+
+def url_normalize(urls: DataFrame) -> DataFrame:
+    """(doc_id, url, canonical_url, dup_rank): URL canonicalization — the
+    first pass of any crawl-dedup pipeline (the same page is fetched under
+    http/https, with/without www, with tracking params, fragments, default
+    ports, trailing slashes) — plus a keep-first duplicate rank per
+    canonical form.
+
+    Rules (all pure JVM regexp/string codegen, zero UDFs, zero lambdas):
+    drop scheme; drop leading `www.`; lowercase the host (ONLY the host —
+    paths are case-sensitive); drop default ports :80/:443; drop the
+    fragment; remove tracking params (utm_*, fbclid, gclid) but KEEP other
+    params, re-sorted canonically (split → native array_sort → join, no
+    HOF lambda); strip one trailing slash on a non-root path. dup_rank is
+    a row_number window over (canonical_url, doc_id) — rank-not-pairs, so
+    dedup stays linear in corpus size at any duplicate multiplicity (the
+    `dup_paragraph` lesson). The single shuffle is that window's
+    hash-partition by canonical_url.
+    """
+    c = F.col
+    step = urls.select(
+        "doc_id", "url",
+        F.expr("regexp_replace(url, '^https?://', '')").alias("u0"),
+    ).select(
+        "doc_id", "url",
+        F.expr("regexp_replace(u0, '^www\\\\.', '')").alias("u1"),
+    ).select(
+        "doc_id", "url",
+        # split into host[:port][/path...], query, fragment
+        F.expr("regexp_extract(u1, '^([^/?#]*)', 1)").alias("hostport"),
+        F.expr("regexp_extract(u1, '^[^/?#]*([^?#]*)', 1)").alias("path"),
+        F.expr("regexp_extract(u1, '\\\\?([^#]*)', 1)").alias("query"),
+    ).select(
+        "doc_id", "url",
+        F.lower(F.expr("regexp_replace(hostport, ':(80|443)$', '')"))
+        .alias("host"),
+        F.expr(
+            "CASE WHEN path IN ('', '/') THEN ''"
+            " ELSE regexp_replace(path, '/$', '') END"
+        ).alias("path"),
+        F.expr(
+            "regexp_replace(regexp_replace(query,"
+            " '(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*', '$1'), '&+', '&')"
+        ).alias("q0"),
+    ).select(
+        "doc_id", "url", "host", "path",
+        F.expr(
+            "array_join(array_sort(split("
+            "  regexp_replace(q0, '^&|&$', ''), '&')), '&')"
+        ).alias("q1"),
+    ).select(
+        "doc_id", "url",
+        F.expr(
+            "concat(host, path,"
+            " CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END)"
+        ).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    return step.select(
+        "doc_id", "url", "canonical_url",
+        F.row_number().over(w).cast("long").alias("dup_rank"),
+    )

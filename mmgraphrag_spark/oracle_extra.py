@@ -1570,3 +1570,73 @@ reach(x, y) AS (
 )
 SELECT x AS vec_id, min(y) AS cluster_rep FROM reach GROUP BY x
 """
+
+
+def url_normalize_sql() -> str:
+    """Twin of curation.url_normalize over curation.url_seeded_docs:
+    identical seeded URLs (same doc_id arithmetic and CASE precedence) and
+    the same canonicalization chain. DuckDB regexp_replace needs the 'g'
+    flag (Spark's is global by default) and \\1 backrefs (Spark: $1)."""
+    return r"""
+WITH seeded AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+           CASE WHEN doc_id % 5 = 0
+             THEN concat('SITE', CAST(doc_id % 50 AS VARCHAR), '.EXAMPLE.ORG')
+             ELSE concat('site', CAST(doc_id % 50 AS VARCHAR), '.example.org')
+           END,
+           CASE WHEN doc_id % 13 = 0 THEN ':80' ELSE '' END,
+           '/p/', CAST(doc_id % 100 AS VARCHAR),
+           CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss'
+                WHEN doc_id % 9 = 0 THEN '?gclid=abc&b=2&a=1'
+                WHEN doc_id % 6 = 0 THEN '?ref=home&utm_campaign=x'
+                ELSE '' END,
+           CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(url, '^https?://', ''),
+                        '^www\.', '') AS u1
+  FROM seeded
+),
+s2 AS (
+  SELECT doc_id, url,
+         regexp_extract(u1, '^([^/?#]*)', 1) AS hostport,
+         regexp_extract(u1, '^[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(u1, '\?([^#]*)', 1) AS query
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, url,
+         lower(regexp_replace(hostport, ':(80|443)$', '')) AS host,
+         CASE WHEN path IN ('', '/') THEN ''
+              ELSE regexp_replace(path, '/$', '') END AS path,
+         regexp_replace(
+           regexp_replace(query, '(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*',
+                          '\1', 'g'),
+           '&+', '&', 'g') AS q0
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, url, host, path,
+         array_to_string(
+           list_sort(string_split(
+             regexp_replace(q0, '^&|&$', '', 'g'), '&')), '&') AS q1
+  FROM s3
+),
+canon AS (
+  SELECT doc_id, url,
+         concat(host, path,
+                CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END)
+           AS canonical_url
+  FROM s4
+)
+SELECT doc_id, url, canonical_url,
+       CAST(row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id)
+            AS BIGINT) AS dup_rank
+FROM canon
+"""

@@ -554,3 +554,56 @@ def test_pii_seeded_docs_exercises_every_bucket(spark):
     assert out[105].n_pii == 3
     for tok in ("<EMAIL>", "<IP>", "<PHONE>"):
         assert tok in out[105].redacted
+
+
+def test_url_normalize_rules(spark):
+    """Every canonicalization rule on hand-built URLs, one assert each."""
+    cases = [
+        (1, "https://Example.COM/Path", "example.com/Path"),      # host lower, path kept
+        (2, "http://www.example.com/a", "example.com/a"),          # scheme + www
+        (3, "https://example.com:443/a", "example.com/a"),         # default port
+        (4, "https://example.com:8080/a", "example.com:8080/a"),   # real port kept
+        (5, "https://example.com/a/", "example.com/a"),            # trailing slash
+        (6, "https://example.com/", "example.com"),                # root slash
+        (7, "https://example.com/a#frag", "example.com/a"),        # fragment
+        (8, "https://example.com/a?utm_source=x&b=2&a=1",
+            "example.com/a?a=1&b=2"),                              # tracking + sort
+        (9, "https://example.com/a?gclid=z", "example.com/a"),     # all-tracking query
+        (10, "https://example.com/a?z=1&fbclid=q&y=2",
+             "example.com/a?y=2&z=1"),                             # mid-tracking
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: r.canonical_url
+        for r in curation.url_normalize(df).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_normalize_dup_rank_keep_first(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "http://www.site.org/x"),
+            (20, "https://site.org/x/"),
+            (30, "https://SITE.ORG/x#top"),
+            (40, "https://site.org/other"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: (r.canonical_url, r.dup_rank)
+            for r in curation.url_normalize(df).collect()}
+    assert rows[10] == ("site.org/x", 1)
+    assert rows[20] == ("site.org/x", 2)
+    assert rows[30] == ("site.org/x", 3)
+    assert rows[40] == ("site.org/other", 1)
+
+
+def test_url_seeded_fixture_has_real_duplicates(spark):
+    out = curation.url_normalize(
+        curation.url_seeded_docs(curation.docs_table(spark, SF_TINY))
+    )
+    n_dups = out.filter(F.col("dup_rank") > 1).count()
+    assert n_dups > 100  # the mod-50/mod-100 collisions are non-vacuous
