@@ -40,6 +40,28 @@ CM_D = 4    # hash rows
 CM_W = 256  # counters per row
 
 
+def countmin_cells(
+    df: DataFrame, key_expr: str, d: int = CM_D, w: int = CM_W
+) -> DataFrame:
+    """(i, bucket, c): the d×w Count-Min cell table for ``df``'s keys —
+    factored out so the STREAMING sketch reuses the identical cell build
+    per micro-batch (cell tables are mergeable by (i, bucket) sum, the
+    defining property that makes Count-Min a streaming structure)."""
+    keyed = df.select(F.expr(key_expr).alias("k"))
+    rows = keyed.select(
+        "k", F.explode(F.expr(f"sequence(0, {d - 1})")).alias("i")
+    ).select(
+        "k", "i",
+        F.expr(
+            f"pmod(cast(conv(substr(md5(concat(i, ':', k)), 1, 15), 16, 10)"
+            f" as bigint), {w})"
+        ).alias("bucket"),
+    )
+    return rows.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
 def countmin_heavy_hitters(
     df: DataFrame, key_expr: str, d: int = CM_D, w: int = CM_W
 ) -> DataFrame:
@@ -60,18 +82,7 @@ def countmin_heavy_hitters(
     the sketch replaces).
     """
     keyed = df.select(F.expr(key_expr).alias("k"))
-    rows = keyed.select(
-        "k", F.explode(F.expr(f"sequence(0, {d - 1})")).alias("i")
-    ).select(
-        "k", "i",
-        F.expr(
-            f"pmod(cast(conv(substr(md5(concat(i, ':', k)), 1, 15), 16, 10)"
-            f" as bigint), {w})"
-        ).alias("bucket"),
-    )
-    cells = rows.groupBy("i", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
+    cells = countmin_cells(df, key_expr, d, w)
     exact = keyed.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     probes = (
         exact.select("k")

@@ -493,3 +493,82 @@ def stream_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- streaming Count-Min sketch ---------------------------------------------
+
+
+def countmin_process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    key_expr: str,
+    d: int = 4,
+    w: int = 256,
+    run: str = "direct",
+) -> None:
+    """One micro-batch of the streaming Count-Min sketch: compute the
+    batch's OWN d×w cell table (the identical build the batch operator
+    uses — :func:`~..operators.sketches.countmin_cells`) and write it as
+    this batch's partition delta. Mergeability by (i, bucket) sum is the
+    defining Count-Min property, so the current sketch is always
+    ``sum(c) GROUP BY i, bucket`` over the delta partitions — no
+    read-modify-write of a global state row, hence no lost updates and
+    per-batch replay idempotency for free (a replayed batch overwrites its
+    own partition with the same delta)."""
+    from ..operators.sketches import countmin_cells
+
+    delta = countmin_cells(batch_df, key_expr, d, w).select(
+        "i", "bucket", "c",
+        F.lit(run).alias("run"), F.lit(batch_id).cast("long").alias("batch_id"),
+    )
+    (
+        delta.coalesce(1)
+        .write.partitionBy("run", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{out_dir}/cm_cells")
+    )
+
+
+def stream_countmin(
+    spark: SparkSession,
+    events_stream_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_expr: str = "concat(user_id, ':', event_type)",
+    d: int = 4,
+    w: int = 256,
+):
+    """Streaming Count-Min heavy-hitter sketch: as events arrive, fold each
+    micro-batch into bounded d×w counter state via per-batch cell DELTAS
+    (see :func:`countmin_process_batch`). The merged sketch equals the
+    batch sketch over the union of all batches BIT-FOR-BIT — integer cell
+    sums are associative-commutative, so batch boundaries cannot show
+    through (tested, including across a query restart). AvailableNow
+    trigger, same contract as :func:`stream_extract`."""
+    run = _run_token(checkpoint_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        countmin_process_batch(
+            spark, batch_df, batch_id, out_dir, key_expr, d, w, run=run
+        )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_countmin_cells(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(i, bucket, c): the current merged sketch — sum of all delta
+    partitions. ≤ d·w rows regardless of stream length."""
+    return (
+        spark.read.parquet(f"{out_dir}/cm_cells")
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )

@@ -462,3 +462,48 @@ def test_hopping_windowed_counts_stream_equals_batch_and_explode_twin(
         for r in want.itertuples(index=False)
     }
     assert explode_counts == batch_counts
+
+
+def test_stream_countmin_equals_batch_across_batches_and_restart(spark, tmp_path):
+    """Merged streaming cells == batch cells bit-for-bit, with the events
+    split into two drops separated by a full query restart (state resumes
+    from the delta partitions, not driver memory); replaying a micro-batch
+    leaves the merged sketch unchanged."""
+    from mmgraphrag_spark.operators.sketches import countmin_cells
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "cm_out")
+    ckpt = str(tmp_path / "cm_ckpt")
+
+    first.write.mode("append").parquet(src)
+    q = incremental.stream_countmin(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    second.write.mode("append").parquet(src)
+    q = incremental.stream_countmin(spark, src, out, ckpt)  # restart
+    q.awaitTermination(120)
+
+    got = {
+        (r.i, r.bucket): r.c
+        for r in incremental.stream_countmin_cells(spark, out).collect()
+    }
+    want = {
+        (r.i, r.bucket): r.c
+        for r in countmin_cells(
+            ev, "concat(user_id, ':', event_type)"
+        ).collect()
+    }
+    assert got == want
+
+    # replay idempotency: re-run an arbitrary already-committed batch
+    run = incremental._run_token(ckpt)
+    incremental.countmin_process_batch(
+        spark, first, 0, out, "concat(user_id, ':', event_type)", run=run
+    )
+    again = {
+        (r.i, r.bucket): r.c
+        for r in incremental.stream_countmin_cells(spark, out).collect()
+    }
+    assert again == want
