@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_urls": lambda s, d: curation.url_normalize(
             curation.url_seeded_docs(curation.docs_table(s, d))
         ),
+        # cross-media duplicate-frame coverage (fingerprint-grain counts,
+        # never pairwise) over the sampled frame relation
+        "mm_frame_dedup": api.mm_frame_dedup,
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -358,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": oracle.q(oracle.hits_select()),
         "dup_semantic_clusters": oracle_extra.semantic_clusters_sql(),
         "curation_urls": oracle_extra.url_normalize_sql(),
+        "mm_frame_dedup": oracle.q(oracle.frame_dedup_select()),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

@@ -523,3 +523,10 @@ def hits(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> Dat
 
     n, e = fused_graph(spark, sf_dir, cfg)
     return graphalgo.hits(n, e)
+
+
+def mm_frame_dedup(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Cross-media duplicate-frame coverage over the sampled frames."""
+    from .operators import multimodal
+
+    return multimodal.frame_dedup(mm_frames(spark, sf_dir, cfg))

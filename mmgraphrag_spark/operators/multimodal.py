@@ -172,3 +172,36 @@ def compress_media(
     return payloads.select("media_ref", "payload").mapInPandas(
         run, schema=COMPRESS_SCHEMA
     )
+
+
+def frame_dedup(frames: DataFrame) -> DataFrame:
+    """(media_ref, n_frames, n_shared, shared_ppm): cross-media duplicate-
+    frame coverage — for each media item, how many of its sampled frames
+    also occur in at least one OTHER media item (re-posted clips, mirrored
+    images, watermarked copies). The video sibling of document span
+    coverage: frame fingerprints shared across items are the dedup signal.
+
+    Input is :func:`frame_samples` output, so the real-decoder swap point
+    is upstream; this stage is pure relational: one fingerprint-grain
+    aggregation (map-side combinable) + one equi-join back + one
+    media-grain aggregation. Never pairwise — sharing is counted at the
+    fingerprint, so a frame reposted 10^6 times costs one group row, not
+    10^12 pairs (the dup_paragraph rank-not-pairs lesson, applied to
+    media).
+    """
+    sharing = frames.groupBy("frame_md5").agg(
+        F.countDistinct("media_ref").alias("n_media")
+    )
+    return (
+        frames.join(sharing, "frame_md5")
+        .groupBy("media_ref")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum(F.when(F.col("n_media") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_shared"),
+        )
+        .selectExpr(
+            "media_ref", "n_frames", "n_shared",
+            "n_shared * 1000000L div n_frames AS shared_ppm",
+        )
+    )

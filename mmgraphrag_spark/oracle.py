@@ -1657,3 +1657,29 @@ def hits_select(iters: int = 5, scale: int = 1_000_000_000) -> str:
         f"\nSELECT name AS entity_name, h AS hub_scaled, a AS auth_scaled"
         f" FROM ht_s{iters}"
     )
+
+
+def frame_dedup_select(n_frames: int = 3, frame_bytes: int = 16) -> str:
+    """Twin of operators/multimodal.frame_dedup over the mm_frames frame
+    relation (embedded verbatim as a CTE)."""
+    return f"""
+, fd_frames AS (
+  SELECT media_ref,
+         md5(substr(media_ref || ':' || context,
+                    CAST(u.k AS INT) * {frame_bytes} + 1, {frame_bytes}))
+           AS frame_md5
+  FROM media, UNNEST(range({n_frames})) AS u(k)
+  WHERE length(media_ref || ':' || context) > CAST(u.k AS INT) * {frame_bytes}
+), fd_sharing AS (
+  SELECT frame_md5, count(DISTINCT media_ref) AS n_media
+  FROM fd_frames GROUP BY frame_md5
+)
+SELECT f.media_ref,
+       count(*) AS n_frames,
+       CAST(sum(CASE WHEN s.n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(sum(CASE WHEN s.n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // count(*) AS shared_ppm
+FROM fd_frames f JOIN fd_sharing s ON s.frame_md5 = f.frame_md5
+GROUP BY f.media_ref
+"""

@@ -70,3 +70,27 @@ def test_ori_img_node_per_media_span(spark):
     ori = media.ori_img_mentions(m)
     assert ori.count() == n_media
     assert all(r.entity_type == "ORI_IMG" for r in ori.collect())
+
+
+def test_frame_dedup_counts_sharing_at_fingerprint_grain(spark):
+    """Hand-built frames: m1/m2 share f_a; m3 is unique; a frame repeated
+    WITHIN one media (m3's f_c twice) is not 'shared'."""
+    from mmgraphrag_spark.operators import multimodal
+
+    rows = [
+        ("m1", 0, "f_a"), ("m1", 1, "f_b"),
+        ("m2", 0, "f_a"),
+        ("m3", 0, "f_c"), ("m3", 1, "f_c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, frame_idx long, frame_md5 string"
+    )
+    got = {
+        r.media_ref: (r.n_frames, r.n_shared, r.shared_ppm)
+        for r in multimodal.frame_dedup(df).collect()
+    }
+    assert got == {
+        "m1": (2, 1, 500_000),
+        "m2": (1, 1, 1_000_000),
+        "m3": (2, 0, 0),
+    }
