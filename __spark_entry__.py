@@ -88,6 +88,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-media duplicate-frame coverage (fingerprint-grain counts,
         # never pairwise) over the sampled frame relation
         "mm_frame_dedup": api.mm_frame_dedup,
+        # 64-bit perceptual average-hash per media item (mapInPandas; the
+        # PIL-resize swap point) — approximate measure, exact value hash
+        "mm_phash": api.mm_phash,
+        # near-dup media pairs: block-banded candidates (complete for
+        # hamming<=3) + exact xor popcount verify
+        "mm_phash_pairs": api.mm_phash_pairs,
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -362,6 +368,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_semantic_clusters": oracle_extra.semantic_clusters_sql(),
         "curation_urls": oracle_extra.url_normalize_sql(),
         "mm_frame_dedup": oracle.q(oracle.frame_dedup_select()),
+        "mm_phash": oracle.q(oracle.phash_select()),
+        "mm_phash_pairs": oracle.q(oracle.phash_pairs_select()),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

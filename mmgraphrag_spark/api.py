@@ -530,3 +530,19 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAU
     from .operators import multimodal
 
     return multimodal.frame_dedup(mm_frames(spark, sf_dir, cfg))
+
+
+def mm_phash(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """64-bit perceptual average-hash per media item (multimodal.py)."""
+    from .operators import multimodal
+
+    return multimodal.perceptual_hashes(
+        multimodal.media_payloads(media_table(spark, sf_dir, cfg))
+    )
+
+
+def mm_phash_pairs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Near-duplicate media pairs within perceptual-hash Hamming distance 3."""
+    from .operators import multimodal
+
+    return multimodal.phash_pairs(mm_phash(spark, sf_dir, cfg))

@@ -205,3 +205,103 @@ def frame_dedup(frames: DataFrame) -> DataFrame:
             "n_shared * 1000000L div n_frames AS shared_ppm",
         )
     )
+
+
+PHASH_SCHEMA = "media_ref string, h0 long, h1 long, h2 long, h3 long, phash string"
+
+
+def perceptual_hashes(payloads: DataFrame) -> DataFrame:
+    """(media_ref, h0..h3, phash): 64-bit average-hash (aHash) per media
+    item — the classic perceptual fingerprint (mean-threshold an 8×8
+    downsample; near-identical images differ in a few bits, so near-dup
+    detection is a Hamming-ball search, not equality).
+
+    Arrow-batched mapInPandas is the REAL plumbing — production swaps the
+    window-mean loop for PIL `img.resize((8,8)).convert('L')` over decoded
+    pixels; here the deterministic stand-in 'pixels' are the payload bytes
+    themselves. The bit rule is exact integer arithmetic (window j of n
+    bytes covers [j·n/64, (j+1)·n/64); bit = sum_j·n ≥ total·len_j,
+    empty windows 0), so the DuckDB twin reproduces every bit via
+    ascii()-code list arithmetic — an approximate MEASURE with an exact
+    cross-engine hash, same contract as the HLL/Count-Min sketches.
+    The 64 bits are carried as 4×16-bit block ints: with 4 blocks, any
+    pair within Hamming distance 3 shares at least one equal block
+    (pigeonhole), which makes the pair search below index-complete.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "h0": [], "h1": [], "h2": [], "h3": [],
+                   "phash": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                tot = sum(b)
+                bits = []
+                for j in range(64):
+                    lo, hi = j * n // 64, (j + 1) * n // 64
+                    lj = hi - lo
+                    sj = sum(b[lo:hi])
+                    bits.append(1 if lj > 0 and sj * n >= tot * lj else 0)
+                hs = [
+                    sum(bits[k * 16 + t] << t for t in range(16))
+                    for k in range(4)
+                ]
+                val = hs[0] | (hs[1] << 16) | (hs[2] << 32) | (hs[3] << 48)
+                out["media_ref"].append(ref)
+                for k in range(4):
+                    out[f"h{k}"].append(hs[k])
+                out["phash"].append(format(val, "016x"))
+            yield pd.DataFrame(out)
+
+    return payloads.select("media_ref", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming): near-duplicate media pairs by perceptual hash.
+
+    Candidates are the block-equal pairs (equi self-join on (block index,
+    block value) — the simhash banding trick, never all-pairs); with 4
+    blocks of 16 bits the index is COMPLETE for hamming ≤ 3. Verification
+    is exact bit_count over the XOR of the four blocks (pure codegen).
+    """
+    bl = hashes.select(
+        "media_ref",
+        F.explode(F.expr(
+            "array(struct(0 AS k, h0 AS v), struct(1 AS k, h1 AS v),"
+            " struct(2 AS k, h2 AS v), struct(3 AS k, h3 AS v))"
+        )).alias("b"),
+    ).select("media_ref", F.col("b.k").alias("k"), F.col("b.v").alias("v"))
+    cand = (
+        bl.alias("x")
+        .join(
+            bl.alias("y"),
+            (F.col("x.k") == F.col("y.k")) & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.media_ref") < F.col("y.media_ref")),
+        )
+        .select(
+            F.col("x.media_ref").alias("a"), F.col("y.media_ref").alias("b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("media_ref").alias("a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hashes.select(
+        F.col("media_ref").alias("b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(4)],
+    )
+    return (
+        cand.join(ha, "a").join(hb, "b")
+        .selectExpr(
+            "a", "b",
+            "cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1)"
+            " + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS long) AS hamming",
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1683,3 +1683,71 @@ SELECT f.media_ref,
 FROM fd_frames f JOIN fd_sharing s ON s.frame_md5 = f.frame_md5
 GROUP BY f.media_ref
 """
+
+
+def _phash_ctes() -> str:
+    """Shared CTE chain reproducing multimodal.perceptual_hashes bit-for-bit
+    via ascii-code list arithmetic (the stand-in 'pixels' are the payload
+    characters, which are ASCII by construction). The hex string is built
+    per 16-bit part (%04x of h3..h0) — identical to %016x of the combined
+    64-bit value without ever forming it (bit 63 would overflow BIGINT)."""
+    return """
+, ph_base AS (
+  SELECT media_ref, media_ref || ':' || context AS t FROM media
+), ph_codes AS (
+  SELECT media_ref,
+         [ascii(substring(t, i + 1, 1)) for i in range(length(t))] AS codes
+  FROM ph_base
+), ph_bits AS (
+  SELECT media_ref,
+         [CASE WHEN ((j + 1) * len(codes)) // 64 - (j * len(codes)) // 64 > 0
+               AND list_sum(list_slice(codes, (j * len(codes)) // 64 + 1,
+                                       ((j + 1) * len(codes)) // 64))
+                     * len(codes)
+                   >= list_sum(codes)
+                     * (((j + 1) * len(codes)) // 64 - (j * len(codes)) // 64)
+               THEN 1 ELSE 0 END for j in range(64)] AS bits
+  FROM ph_codes
+), ph_h AS (
+  SELECT media_ref,
+         CAST(list_sum([bits[t + 1] * (1 << t) for t in range(16)]) AS BIGINT) AS h0,
+         CAST(list_sum([bits[16 + t + 1] * (1 << t) for t in range(16)]) AS BIGINT) AS h1,
+         CAST(list_sum([bits[32 + t + 1] * (1 << t) for t in range(16)]) AS BIGINT) AS h2,
+         CAST(list_sum([bits[48 + t + 1] * (1 << t) for t in range(16)]) AS BIGINT) AS h3
+  FROM ph_bits
+)"""
+
+
+def phash_select() -> str:
+    """Twin of operators/multimodal.perceptual_hashes."""
+    return _phash_ctes() + """
+SELECT media_ref, h0, h1, h2, h3,
+       printf('%04x%04x%04x%04x', h3, h2, h1, h0) AS phash
+FROM ph_h
+"""
+
+
+def phash_pairs_select(max_hamming: int = 3) -> str:
+    """Twin of operators/multimodal.phash_pairs: block-equal candidates
+    (complete for hamming <= 3 with 4 blocks) + exact xor popcount."""
+    return _phash_ctes() + f"""
+, ph_blocks AS (
+  SELECT media_ref, u.k AS k,
+         CASE u.k WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END AS v
+  FROM ph_h, UNNEST(range(4)) AS u(k)
+), ph_cand AS (
+  SELECT DISTINCT x.media_ref AS a, y.media_ref AS b
+  FROM ph_blocks x JOIN ph_blocks y
+    ON x.k = y.k AND x.v = y.v AND x.media_ref < y.media_ref
+)
+SELECT c.a, c.b,
+       CAST(bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+            + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))
+            AS BIGINT) AS hamming
+FROM ph_cand c
+JOIN ph_h ha ON ha.media_ref = c.a
+JOIN ph_h hb ON hb.media_ref = c.b
+WHERE bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+      + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))
+      <= {max_hamming}
+"""
