@@ -94,6 +94,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup media pairs: block-banded candidates (complete for
         # hamming<=3) + exact xor popcount verify
         "mm_phash_pairs": api.mm_phash_pairs,
+        # per-node directed-edge reciprocity (symmetric-relation detector)
+        "kg_reciprocity": api.reciprocity,
+        # DAU / trailing-7-day WAU stickiness via the hopping explode
+        "events_stickiness": lambda s, d: events.stickiness(
+            events.events_table(s, d)
+        ),
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -370,6 +376,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_dedup": oracle.q(oracle.frame_dedup_select()),
         "mm_phash": oracle.q(oracle.phash_select()),
         "mm_phash_pairs": oracle.q(oracle.phash_pairs_select()),
+        "kg_reciprocity": oracle.q(oracle.reciprocity_select()),
+        "events_stickiness": oracle_extra.stickiness_sql(),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

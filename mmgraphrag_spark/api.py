@@ -546,3 +546,11 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAU
     from .operators import multimodal
 
     return multimodal.phash_pairs(mm_phash(spark, sf_dir, cfg))
+
+
+def reciprocity(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Per-node directed-edge reciprocity over the fused graph."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.reciprocity(n, e)

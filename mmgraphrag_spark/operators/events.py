@@ -507,3 +507,45 @@ def cooccurrence_lift(
             "n_xy * n_users * 1000000L div (n_x * n_y) AS lift_ppm",
         )
     )
+
+
+def stickiness(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """(day_us, dau, wau, stickiness_ppm): daily active users, trailing
+    ``window_days``-day active users, and the DAU/WAU stickiness ratio —
+    the canonical product-health rollup, computed with the hopping-window
+    explode (each event-day contributes to the ``window_days`` trailing
+    windows it falls in) so there is NO self-join back onto the event log
+    and no per-day scan: blowup factor is exactly ``window_days``, then
+    two distinct-aggregations. Days are epoch-microsecond bucket starts
+    (exact integers; the twin shares the arithmetic). Only windows with
+    dau > 0 are emitted (a day with no events has no DAU row).
+    """
+    day = DAY_US
+    base = events.select(
+        "user_id",
+        F.expr(
+            f"(unix_micros(cast(ts as timestamp)) div {day}) * {day}"
+        ).alias("day_us"),
+    ).distinct()
+    dau = base.groupBy("day_us").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    contrib = base.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day_us, day_us + {day} * {window_days - 1},"
+                f" {day})"
+            )
+        ).alias("day_us"),
+    ).distinct()
+    wau = contrib.groupBy("day_us").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day_us")
+        .selectExpr(
+            "day_us", "dau", "wau",
+            "dau * 1000000L div wau AS stickiness_ppm",
+        )
+    )

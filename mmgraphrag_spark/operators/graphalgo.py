@@ -998,3 +998,42 @@ def hits(
         F.col("h").alias("hub_scaled"),
         F.col("a").alias("auth_scaled"),
     )
+
+
+def reciprocity(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(entity_name, n_out, n_reciprocal, reciprocity_ppm): per-node edge
+    reciprocity of the DIRECTED graph — the fraction of a node's out-edges
+    whose reverse edge also exists. In a KG built from subj→obj triples,
+    high reciprocity marks symmetric-relation pairs the canonicalization
+    stage may want to collapse into one undirected edge; zero-out-degree
+    nodes report 0/0 → 0.
+
+    One distinct edge relation, one left_semi self-join on the swapped key
+    pair (equi — shuffle-bounded), two map-side-combined counts. No
+    iteration, no windows.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    outs = e.groupBy(F.col("src").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    recs = recip.groupBy(F.col("src").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    return (
+        nodes.select(F.col("entity_name").alias("name")).distinct()
+        .join(outs, "name", "left")
+        .join(recs, "name", "left")
+        .selectExpr(
+            "name AS entity_name",
+            "coalesce(n_out, 0L) AS n_out",
+            "coalesce(n_reciprocal, 0L) AS n_reciprocal",
+            "coalesce(n_reciprocal, 0L) * 1000000L"
+            " div greatest(coalesce(n_out, 0L), 1L) AS reciprocity_ppm",
+        )
+    )

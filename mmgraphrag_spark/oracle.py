@@ -1751,3 +1751,26 @@ WHERE bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
       + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))
       <= {max_hamming}
 """
+
+
+def reciprocity_select() -> str:
+    """Twin of operators/graphalgo.reciprocity."""
+    return """
+, rc_e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM fused_edges WHERE src <> dst
+), rc_out AS (
+  SELECT src AS name, count(*) AS n_out FROM rc_e GROUP BY src
+), rc_rec AS (
+  SELECT e.src AS name, count(*) AS n_reciprocal
+  FROM rc_e e JOIN rc_e r ON r.src = e.dst AND r.dst = e.src
+  GROUP BY e.src
+)
+SELECT n.entity_name,
+       COALESCE(o.n_out, 0) AS n_out,
+       COALESCE(r.n_reciprocal, 0) AS n_reciprocal,
+       COALESCE(r.n_reciprocal, 0) * 1000000
+         // greatest(COALESCE(o.n_out, 0), 1) AS reciprocity_ppm
+FROM (SELECT DISTINCT entity_name FROM fused_nodes) n
+LEFT JOIN rc_out o ON o.name = n.entity_name
+LEFT JOIN rc_rec r ON r.name = n.entity_name
+"""

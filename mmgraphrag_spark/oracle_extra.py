@@ -1640,3 +1640,29 @@ SELECT doc_id, url, canonical_url,
             AS BIGINT) AS dup_rank
 FROM canon
 """
+
+
+def stickiness_sql(window_days: int = 7) -> str:
+    """Twin of events.stickiness: same hopping explode and integer day
+    buckets (DAY_US microseconds)."""
+    day = 86_400_000_000
+    return f"""
+WITH base AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // {day}) * {day} AS day_us
+  FROM events
+),
+dau AS (
+  SELECT day_us, count(DISTINCT user_id) AS dau FROM base GROUP BY day_us
+),
+contrib AS (
+  SELECT DISTINCT b.user_id, b.day_us + {day} * u.k AS day_us
+  FROM base b, UNNEST(range({window_days})) AS u(k)
+),
+wau AS (
+  SELECT day_us, count(DISTINCT user_id) AS wau FROM contrib GROUP BY day_us
+)
+SELECT d.day_us, d.dau, w.wau,
+       d.dau * 1000000 // w.wau AS stickiness_ppm
+FROM dau d JOIN wau w ON w.day_us = d.day_us
+"""

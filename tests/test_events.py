@@ -489,3 +489,30 @@ def test_cooccurrence_basket_cap_drops_power_users(spark):
         (r.x, r.y): r.n_xy for r in ev.cooccurrence_lift(df).collect()
     }
     assert full[("a", "b")] == 3 and full[("a", "c")] == 1
+
+
+def test_stickiness_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    day = ev.DAY_US
+    base = set()
+    for r in rows:
+        us = int(r.ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        base.add((r.user_id, (us // day) * day))
+    dau = {}
+    wau = {}
+    for u, d in base:
+        dau.setdefault(d, set()).add(u)
+        for k in range(7):
+            wau.setdefault(d + day * k, set()).add(u)
+    want = {
+        d: (len(dau[d]), len(wau[d]),
+            len(dau[d]) * 1_000_000 // len(wau[d]))
+        for d in dau
+    }
+    got = {
+        r.day_us: (r.dau, r.wau, r.stickiness_ppm)
+        for r in ev.stickiness(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
+    # a window covering every user's activity has wau >= dau always
+    assert all(w >= d_ for d_, w, _ in got.values())

@@ -612,3 +612,21 @@ def test_hits_hub_degree_beyond_int64_scale(spark):
     h, a = _py_hits(names, edges)
     assert got == {n: (h[n], a[n]) for n in names}
     assert got["star"][1] == graphalgo.SCALE
+
+
+def test_reciprocity_known_digraph(spark):
+    # a<->b mutual; a->c one-way; d isolated
+    names = ["a", "b", "c", "d"]
+    edges = [("a", "b"), ("b", "a"), ("a", "c")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: (r.n_out, r.n_reciprocal, r.reciprocity_ppm)
+        for r in graphalgo.reciprocity(ndf, edf).collect()
+    }
+    assert got == {
+        "a": (2, 1, 500_000),
+        "b": (1, 1, 1_000_000),
+        "c": (0, 0, 0),
+        "d": (0, 0, 0),
+    }
