@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_pairs": api.mm_phash_pairs,
         # per-node directed-edge reciprocity (symmetric-relation detector)
         "kg_reciprocity": api.reciprocity,
+        # Watts-Strogatz local clustering coefficient (exact ppm ratio
+        # over the hub-safe oriented triangle enumeration)
+        "kg_clustering": api.clustering,
         # DAU / trailing-7-day WAU stickiness via the hopping explode
         "events_stickiness": lambda s, d: events.stickiness(
             events.events_table(s, d)
@@ -377,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_phash": oracle.q(oracle.phash_select()),
         "mm_phash_pairs": oracle.q(oracle.phash_pairs_select()),
         "kg_reciprocity": oracle.q(oracle.reciprocity_select()),
+        "kg_clustering": oracle.q(oracle.clustering_select()),
         "events_stickiness": oracle_extra.stickiness_sql(),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),

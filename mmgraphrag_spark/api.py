@@ -554,3 +554,11 @@ def reciprocity(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
 
     n, e = fused_graph(spark, sf_dir, cfg)
     return graphalgo.reciprocity(n, e)
+
+
+def clustering(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Local clustering coefficients over the fused graph (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.clustering_coefficients(n, e)

@@ -1037,3 +1037,34 @@ def reciprocity(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             " div greatest(coalesce(n_out, 0L), 1L) AS reciprocity_ppm",
         )
     )
+
+
+def clustering_coefficients(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(entity_name, deg, triangles, clustering_ppm): local clustering
+    coefficient C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) in exact integer ppm
+    (deg < 2 → 0) — Watts–Strogatz local density. Read alongside
+    triangle counts: a hub with C≈0 is pure fan-out; C≈1 marks a clique
+    the fusion stage might collapse.
+
+    Pure composition: the degree-oriented triangle enumeration
+    (:func:`triangle_counts` — hub-safe by orientation) joined to the
+    degree relation; the ratio is one projection. No new shuffles beyond
+    the two audited triangle joins.
+    """
+    sym = symmetric_edges(edges)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    tri = triangle_counts(nodes, edges)
+    return (
+        tri.join(
+            deg.select(F.col("u").alias("entity_name"), "deg"),
+            "entity_name", "left",
+        )
+        .selectExpr(
+            "entity_name",
+            "coalesce(deg, 0L) AS deg",
+            "triangles",
+            "CASE WHEN coalesce(deg, 0L) >= 2"
+            " THEN 2 * triangles * 1000000L div (deg * (deg - 1))"
+            " ELSE 0L END AS clustering_ppm",
+        )
+    )

@@ -1774,3 +1774,23 @@ FROM (SELECT DISTINCT entity_name FROM fused_nodes) n
 LEFT JOIN rc_out o ON o.name = n.entity_name
 LEFT JOIN rc_rec r ON r.name = n.entity_name
 """
+
+
+def clustering_select() -> str:
+    """Twin of operators/graphalgo.clustering_coefficients: the
+    triangles_select chain joined back to degrees, ratio in exact ppm."""
+    return triangles_select().replace(
+        """
+SELECT n.entity_name, COALESCE(p.t, 0) AS triangles
+FROM fused_nodes n LEFT JOIN tr_pn p ON n.entity_name = p.name""",
+        """
+SELECT n.entity_name,
+       COALESCE(d.deg, 0) AS deg,
+       COALESCE(p.t, 0) AS triangles,
+       CASE WHEN COALESCE(d.deg, 0) >= 2
+            THEN 2 * COALESCE(p.t, 0) * 1000000
+                 // (d.deg * (d.deg - 1))
+            ELSE 0 END AS clustering_ppm
+FROM fused_nodes n
+LEFT JOIN tr_pn p ON n.entity_name = p.name
+LEFT JOIN tr_deg d ON n.entity_name = d.u""")

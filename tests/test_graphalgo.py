@@ -630,3 +630,22 @@ def test_reciprocity_known_digraph(spark):
         "c": (0, 0, 0),
         "d": (0, 0, 0),
     }
+
+
+def test_clustering_coefficient_known_graph(spark):
+    # K3 triangle abc (+pendant d off a): C(b)=C(c)=1, C(a)=2*1/(3*2)=1/3,
+    # C(d)=0 (deg 1)
+    names = ["a", "b", "c", "d"]
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity_name: (r.deg, r.triangles, r.clustering_ppm)
+        for r in graphalgo.clustering_coefficients(ndf, edf).collect()
+    }
+    assert got == {
+        "a": (3, 1, 333_333),
+        "b": (2, 1, 1_000_000),
+        "c": (2, 1, 1_000_000),
+        "d": (1, 0, 0),
+    }
