@@ -103,6 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness": lambda s, d: events.stickiness(
             events.events_table(s, d)
         ),
+        # per-user inter-event gap profile (exact rank median; burstiness
+        # signal + session-gap calibration)
+        "events_interarrival": lambda s, d: events.interarrival(
+            events.events_table(s, d)
+        ),
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -382,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_reciprocity": oracle.q(oracle.reciprocity_select()),
         "kg_clustering": oracle.q(oracle.clustering_select()),
         "events_stickiness": oracle_extra.stickiness_sql(),
+        "events_interarrival": oracle_extra.interarrival_sql(),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

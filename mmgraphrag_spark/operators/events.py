@@ -549,3 +549,45 @@ def stickiness(events: DataFrame, window_days: int = 7) -> DataFrame:
             "dau * 1000000L div wau AS stickiness_ppm",
         )
     )
+
+
+def interarrival(events: DataFrame) -> DataFrame:
+    """(user_id, n_gaps, min_gap_us, median_gap_us, max_gap_us): per-user
+    inter-event gap profile — the burstiness signal behind bot/abuse
+    heuristics and session-gap calibration (the sessionizer's gap
+    threshold should sit between the median intra-session gap and the
+    inter-session gap). Exact integers: gaps from one lag window over the
+    per-user time sort (ties broken by event_id, the sessionize contract),
+    median by the percentile_disc rank rule — same arithmetic as
+    `value_quantiles`, so no float percentile anywhere. Users with a
+    single event have no gaps and are omitted. One user_id exchange total:
+    the lag window and the per-user aggregate share it.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .withColumn("prev", F.lag("ts_us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", (F.col("ts_us") - F.col("prev")).alias("gap"))
+    )
+    rw = Window.partitionBy("user_id").orderBy("gap")
+    nw = Window.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id", "gap",
+        F.row_number().over(rw).alias("r"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_us"),
+        F.max(
+            F.when(
+                F.col("r") == F.expr("(n * 500000 + 999999) div 1000000"),
+                F.col("gap"),
+            )
+        ).cast("long").alias("median_gap_us"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+    )

@@ -1666,3 +1666,33 @@ SELECT d.day_us, d.dau, w.wau,
        d.dau * 1000000 // w.wau AS stickiness_ppm
 FROM dau d JOIN wau w ON w.day_us = d.day_us
 """
+
+
+def interarrival_sql() -> str:
+    """Twin of events.interarrival: lag over (ts, event_id), percentile_disc
+    rank-rule median, exact integers."""
+    return """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+gaps AS (
+  SELECT user_id,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS gap
+  FROM base
+  QUALIFY gap IS NOT NULL
+),
+ranked AS (
+  SELECT user_id, gap,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap) AS r,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM gaps
+)
+SELECT user_id,
+       max(n) AS n_gaps,
+       min(gap) AS min_gap_us,
+       max(CASE WHEN r = (n * 500000 + 999999) // 1000000 THEN gap END)
+         AS median_gap_us,
+       max(gap) AS max_gap_us
+FROM ranked GROUP BY user_id
+"""

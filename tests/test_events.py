@@ -516,3 +516,25 @@ def test_stickiness_matches_python_twin(spark):
     assert got == want
     # a window covering every user's activity has wau >= dau always
     assert all(w >= d_ for d_, w, _ in got.values())
+
+
+def test_interarrival_matches_python_twin(spark):
+    rows = ev.events_table(spark, SF_TINY).collect()
+    seqs = {}
+    for r in rows:
+        us = int(r.ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        seqs.setdefault(r.user_id, []).append((us, r.event_id))
+    want = {}
+    for u, s in seqs.items():
+        s.sort()
+        gaps = sorted(s[i + 1][0] - s[i][0] for i in range(len(s) - 1))
+        if not gaps:
+            continue
+        n = len(gaps)
+        med = gaps[(n * 500_000 + 999_999) // 1_000_000 - 1]
+        want[u] = (n, gaps[0], med, gaps[-1])
+    got = {
+        r.user_id: (r.n_gaps, r.min_gap_us, r.median_gap_us, r.max_gap_us)
+        for r in ev.interarrival(ev.events_table(spark, SF_TINY)).collect()
+    }
+    assert got == want
