@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interarrival": lambda s, d: events.interarrival(
             events.events_table(s, d)
         ),
+        # per-doc vocabulary profile: type-token ratio + hapax share
+        "text_hapax": lambda s, d: textstats.hapax_stats(
+            curation.docs_table(s, d)
+        ),
         # PII detect + redact (emails / ipv4 / phones) — pure JVM regexp
         # codegen; spans seeded deterministically from doc_id so the
         # digit-free synthetic corpus exercises every count bucket
@@ -388,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_clustering": oracle.q(oracle.clustering_select()),
         "events_stickiness": oracle_extra.stickiness_sql(),
         "events_interarrival": oracle_extra.interarrival_sql(),
+        "text_hapax": oracle_extra.hapax_sql(),
         "text_pii": oracle_extra.pii_sql(),
         "kg_spans": oracle.q(oracle.spans_select()),
         "ingest_spans": oracle.q(oracle.spans_select()),

@@ -463,3 +463,31 @@ def readability(docs: DataFrame) -> DataFrame:
         "n_words * 1000000L div n_sentences"
         " + 100 * (n_long * 1000000L div n_words) AS lix_ppm",
     )
+
+
+def hapax_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, n_hapax, hapax_ppm, ttr_ppm):
+    vocabulary profile per document — type-token ratio (lexical richness)
+    and the hapax-legomenon share (fraction of the vocabulary used exactly
+    once; high hapax + low TTR separates natural prose from template spam,
+    the complement of the repetition_scores signal).
+
+    Shape: one explode + one (doc_id, token) count (map-side combined —
+    the shuffle carries one row per DISTINCT (doc, token), not per
+    occurrence) + one doc-grain aggregate on the same doc_id key. Exact
+    integer ppm throughout.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    per = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long").alias("n_hapax"),
+    ).selectExpr(
+        "doc_id", "n_tokens", "n_distinct", "n_hapax",
+        "n_hapax * 1000000L div n_distinct AS hapax_ppm",
+        "n_distinct * 1000000L div n_tokens AS ttr_ppm",
+    )

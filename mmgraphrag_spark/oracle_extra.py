@@ -1696,3 +1696,24 @@ SELECT user_id,
        max(gap) AS max_gap_us
 FROM ranked GROUP BY user_id
 """
+
+
+def hapax_sql() -> str:
+    """Twin of textstats.hapax_stats."""
+    return """
+WITH tok AS (
+  SELECT doc_id, u.t AS t
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+),
+per AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS hapax_ppm,
+       CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm
+FROM per GROUP BY doc_id
+"""

@@ -607,3 +607,24 @@ def test_url_seeded_fixture_has_real_duplicates(spark):
     )
     n_dups = out.filter(F.col("dup_rank") > 1).count()
     assert n_dups > 100  # the mod-50/mod-100 collisions are non-vacuous
+
+
+def test_hapax_stats_matches_python_twin(spark):
+    rows = curation.docs_table(spark, SF_TINY).collect()
+    want = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        from collections import Counter
+        c = Counter(toks)
+        n, nd = len(toks), len(c)
+        nh = sum(1 for v in c.values() if v == 1)
+        want[r.doc_id] = (n, nd, nh, nh * 1_000_000 // nd,
+                          nd * 1_000_000 // n)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.n_hapax, r.hapax_ppm,
+                   r.ttr_ppm)
+        for r in textstats.hapax_stats(
+            curation.docs_table(spark, SF_TINY)
+        ).collect()
+    }
+    assert got == want
