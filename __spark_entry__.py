@@ -62,6 +62,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- never-driver-verified / new-this-round first (see module
         # docstring's ordering contract) ------------------------------------
+        # deterministic DeepWalk corpus over the fused graph (md5 hop rule,
+        # rank-indexed adjacency join — one row per hop, hub-safe)
+        "kg_walks": api.walks,
+        # sparse TF-IDF dot-product document similarity via df-capped
+        # inverted index (the encoder-free sibling of embedding near-dup)
+        "text_docsim": lambda s, d: textstats.docsim_topk(
+            curation.docs_table(s, d)
+        ),
+        # per-source unigram total-variation drift vs the corpus blend
+        "text_drift": lambda s, d: textstats.source_drift(
+            curation.docs_table(s, d)
+        ),
+        # one-sided CUSUM change-point detector over per-type daily volumes
+        # (prefix-sum/prefix-min rewrite; densified day grid)
+        "events_cusum": lambda s, d: events.cusum_changepoints(
+            events.events_table(s, d)
+        ),
+        # entity co-occurrence graph mined from the extractor's mentions
+        # (chunk-basket pair join, pre-join cap; lift in exact ppm)
+        "kg_cooccur": api.cooccur,
+        # skip-gram (center, context) pair counts over the walk corpus —
+        # the node2vec trainer's positive-sample relation
+        "kg_walk_pairs": api.walk_pairs,
+        # RFM user segmentation with total-ordered ntile tie contract
+        "events_rfm": lambda s, d: events.rfm_segments(
+            events.events_table(s, d)
+        ),
+        # first BPE merge round: corpus adjacent char-pair counts, top-k
+        "text_bpe_pairs": lambda s, d: textstats.bpe_pair_counts(
+            curation.docs_table(s, d)
+        ),
+        # token-budget mixture materialization: md5-shuffle rank + running
+        # token sum per source, closed-prefix admission
+        "curation_token_mix": lambda s, d: curation.token_budget_mix(
+            curation.docs_table(s, d)
+        ),
         # directed shingle containment (doc-in-doc detection, Broder 1997's
         # asymmetric sibling of Jaccard) — inverted-index join, df-capped
         "dup_containment": lambda s, d: dedup.containment_pairs(
@@ -383,6 +419,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_walks": oracle.q(oracle.random_walks_select()),
+        "text_docsim": oracle_extra.docsim_sql(),
+        "text_drift": oracle_extra.source_drift_sql(),
+        "events_cusum": oracle_extra.cusum_sql(),
+        "kg_cooccur": oracle.q(oracle.cooccurrence_graph_select()),
+        "kg_walk_pairs": oracle.q(oracle.walk_pairs_select()),
+        "events_rfm": oracle_extra.rfm_sql(),
+        "text_bpe_pairs": oracle_extra.bpe_pairs_sql(),
+        "curation_token_mix": oracle_extra.token_budget_mix_sql(),
         "dup_containment": oracle_extra.containment_sql(threshold=0.2),
         "text_readability": oracle_extra.readability_sql(),
         "events_lift": oracle_extra.cooccurrence_sql(),

@@ -562,3 +562,26 @@ def clustering(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) 
 
     n, e = fused_graph(spark, sf_dir, cfg)
     return graphalgo.clustering_coefficients(n, e)
+
+
+def walks(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Deterministic DeepWalk corpus over the fused graph (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.random_walks(n, e)
+
+
+def cooccur(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Entity co-occurrence graph mined from the mention relation."""
+    from .operators import graphalgo
+
+    return graphalgo.cooccurrence_graph(mentions(spark, sf_dir, cfg))
+
+
+def walk_pairs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Skip-gram (center, context) pair counts over the walk corpus."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.walk_skipgram_pairs(n, e)

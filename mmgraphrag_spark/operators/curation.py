@@ -743,3 +743,47 @@ def url_normalize(urls: DataFrame) -> DataFrame:
         "doc_id", "url", "canonical_url",
         F.row_number().over(w).cast("long").alias("dup_rank"),
     )
+
+
+def token_budget_mix(
+    docs: DataFrame, budget_tokens: int = 500
+) -> DataFrame:
+    """(doc_id, source, n_tokens, cum_tokens, kept): materialize a
+    token-budget-bounded mixture — per source, documents are ranked by a
+    deterministic md5 shuffle and admitted while the running token total
+    stays within ``budget_tokens``. This is the EXECUTION step for the
+    rates domain_mix computes: mixtures are specified in tokens, not
+    document counts (a source of long documents exhausts its share with
+    fewer docs), and the admission must be stable under re-runs and
+    incremental appends — the md5 rank is position- and partition-free.
+
+    The boundary contract is closed-prefix: a document is kept iff the
+    running sum INCLUDING it fits the budget; the first overflowing doc
+    and everything ranked after it are emitted with kept = false (the
+    relation carries the audit trail, filter kept for the output corpus).
+
+    Shape: token counts are a map-only projection (split cardinality);
+    one window per source orders by (md5(doc_id), doc_id) and carries the
+    running sum — a single exchange on source. Source partitions are the
+    mixture's strata (tens to thousands) — balanced by construction at
+    10^12 docs because the window state is one running long, not a
+    buffered partition.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", "source",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+        F.expr("md5(cast(doc_id AS string))").alias("rk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    ).selectExpr(
+        "doc_id", "source", "n_tokens", "cum_tokens",
+        f"cum_tokens <= {budget_tokens} AS kept",
+    )

@@ -591,3 +591,130 @@ def interarrival(events: DataFrame) -> DataFrame:
         ).cast("long").alias("median_gap_us"),
         F.max("gap").cast("long").alias("max_gap_us"),
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    slack_pct: int = 25,
+    threshold_x: int = 3,
+    grain_us: int = DAY_US,
+) -> DataFrame:
+    """(event_type, day, x, cusum_ppm, alarm): one-sided CUSUM change-point
+    detection (Page 1954) over the per-type daily event-count series — the
+    drift monitor a continuously-ingesting pipeline runs over its own
+    volume counters.
+
+    The textbook recurrence S_t = max(0, S_{t−1} + (x_t − μ − slack)) is
+    sequential; it is rewritten with the exact prefix identity
+
+        S_t = C_t − min(0, min_{j≤t} C_j),   C_t = Σ_{j≤t} d_j
+
+    so the whole detector is two window functions (a running sum and a
+    running min) — no recursion, no join, exact integer ppm throughout:
+    μ_ppm = (total·10^6) div n_days over the DENSIFIED day grid (zero-event
+    days between a type's first and last day are materialized via
+    sequence(); a silent outage is a NEGATIVE drift CUSUM would otherwise
+    never see), slack = (μ_ppm·slack_pct) div 100, alarm when
+    S_t > threshold_x·μ_ppm.
+
+    Scale shape: one groupBy on (event_type, day) with map-side combine
+    collapses the event log to ≤ types·days rows; everything after runs on
+    that tiny series (per-type window partitions). The day-grid explode is
+    bounded by the observation span, not the event volume.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.select(
+            "event_type",
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {grain_us}"
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"),
+        F.sum("x").alias("total"),
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"),
+        F.expr("(total * 1000000L) div (d1 - d0 + 1)").alias("mean_ppm"),
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").selectExpr(
+        "event_type", "day", "coalesce(x, 0L) AS x", "mean_ppm",
+        f"coalesce(x, 0L) * 1000000L - mean_ppm"
+        f" - (mean_ppm * {slack_pct}) div 100 AS d",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn("ct", F.sum("d").over(w)).withColumn(
+        "cusum_ppm",
+        F.col("ct") - F.least(F.min("ct").over(w), F.lit(0).cast("long")),
+    )
+    return cum.selectExpr(
+        "event_type", "day", "x", "cusum_ppm",
+        f"CAST(cusum_ppm > {threshold_x} * mean_ppm AS BOOLEAN) AS alarm",
+    )
+
+
+def rfm_segments(events: DataFrame, quantiles: int = 4) -> DataFrame:
+    """(user_id, recency_days, frequency, monetary_cents, r_q, f_q, m_q,
+    rfm_code): RFM user segmentation (Hughes 1994) — recency in whole days
+    behind the corpus watermark, event count, exact integer cents total,
+    and per-dimension ``quantiles``-tile ranks with the textbook coding
+    (1 = best: most recent / most frequent / highest spend).
+
+    Determinism contract: ntile over a TOTAL order — ties in the metric
+    break by user_id ascending, so both engines assign identical tiles
+    (ntile itself is deterministic given a total order; without the
+    user_id tiebreak it would not be). Recency quantile ranks ascending
+    (smaller = more recent = tile 1); frequency/monetary rank descending.
+
+    Shape: one map-side-combined groupBy on user_id collapses the event
+    log to one row per user; the corpus watermark is a 1-row broadcast;
+    the three ntile windows are unpartitioned BUT run on the collapsed
+    per-user relation (users ≪ events) — at 10^12 events / 10^8 users the
+    right production variant is percent_rank bucketing by pre-computed
+    quantile bounds; the ntile contract is kept here because it is the
+    bit-exact one. rfm_code = 100·r + 10·f + m.
+    """
+    from pyspark.sql import Window
+
+    per_user = (
+        events.select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+            F.expr("cast(round(value * 100) AS long)").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+    mark = per_user.agg(F.max("last_us").alias("mark_us"))
+    base = per_user.crossJoin(F.broadcast(mark)).selectExpr(
+        "user_id",
+        f"(mark_us - last_us) div {86_400_000_000} AS recency_days",
+        "frequency", "monetary_cents",
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    return (
+        base.withColumn("r_q", F.ntile(quantiles).over(r_w).cast("long"))
+        .withColumn("f_q", F.ntile(quantiles).over(f_w).cast("long"))
+        .withColumn("m_q", F.ntile(quantiles).over(m_w).cast("long"))
+        .selectExpr(
+            "user_id", "recency_days", "frequency", "monetary_cents",
+            "r_q", "f_q", "m_q",
+            "100 * r_q + 10 * f_q + m_q AS rfm_code",
+        )
+    )

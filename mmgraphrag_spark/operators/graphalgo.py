@@ -1068,3 +1068,193 @@ def clustering_coefficients(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             " ELSE 0L END AS clustering_ppm",
         )
     )
+
+
+def random_walks(
+    nodes: DataFrame,
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    length: int = 3,
+) -> DataFrame:
+    """(walk_id, step, node): a deterministic DeepWalk-style walk corpus
+    over the fused graph (Perozzi et al. 2014) — the input a distributed
+    skip-gram / node2vec embedding trainer consumes. The reference embeds
+    entities with an external encoder (fusion.py sentence vectors); walks
+    are the graph-topology twin of that feature stream, generated here
+    because at 10^9 nodes the walk corpus must be built where the graph
+    lives, not driver-side.
+
+    Determinism contract (both engines evaluate identical integer math, so
+    the DuckDB twin hashes bit-for-bit): from node u at step t of walk w,
+    the next hop is neighbor rank
+
+        r = md5_60(walk_id || ':' || t)  mod  deg(u)
+
+    where neighbors of u are ranked 0..deg-1 by destination name ascending
+    and md5_60 is the repo's 15-hex-char md5 prefix as int64. Walks from
+    isolated nodes end at step 0 (no self-loop padding — both engines drop
+    them at the inner join on the degree relation).
+
+    Scale shape: the adjacency relation (u, v, r) with per-u ranks is built
+    ONCE (one row_number window over the symmetrized edges, hash-partitioned
+    on u) and reused by every step. Each step is two equi-joins: frontier ⋈
+    degree on u (to compute the pick), then frontier ⋈ adjacency on
+    (u, rank) — the rank key matches EXACTLY ONE adjacency row, so a
+    10^6-degree hub costs one row per visiting walk, never deg(hub)
+    intermediates. Frontier size is constant (n · walks_per_node rows), so
+    total work is O(length · n · W) with no per-step growth.
+
+    Lineage contract (the :func:`label_propagation` lesson): every frontier
+    is referenced TWICE — by the emitted union AND by the next step — so an
+    unchecked loop re-derives step s's joins inside every later union
+    branch (O(length²) joins; 12 SortMergeJoins measured at length 3).
+    Degree, adjacency, and each frontier are eagerly localCheckpointed;
+    the checkpointed plan is 2 joins per step, flat.
+    """
+    from pyspark.sql import Window
+
+    sym = symmetric_edges(edges)
+    deg = (
+        sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    adj = sym.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1,
+    ).localCheckpoint(eager=True)
+    frontier = (
+        nodes.select(F.col("entity_name").alias("start"))
+        .select(
+            "start",
+            F.explode(F.expr(f"sequence(0, {walks_per_node - 1})")).alias("w"),
+        )
+        .select(
+            F.concat_ws("#", "start", "w").alias("walk_id"),
+            F.col("start").alias("cur"),
+        )
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("long").alias("step"), F.col("cur").alias("node")
+    )
+    for step in range(1, length + 1):
+        picked = frontier.join(
+            deg.withColumnRenamed("u", "cur"), "cur"
+        ).select(
+            "walk_id",
+            "cur",
+            F.expr(
+                f"pmod(cast(conv(substr(md5(concat(walk_id, ':', '{step}')),"
+                f" 1, 15), 16, 10) as bigint), deg)"
+            ).alias("pick"),
+        )
+        frontier = picked.join(
+            adj.select(
+                F.col("u").alias("cur"), F.col("v").alias("nxt"), F.col("r").alias("pick")
+            ),
+            ["cur", "pick"],
+        ).select("walk_id", F.col("nxt").alias("cur")).localCheckpoint(
+            eager=True
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id",
+                F.lit(step).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out
+
+
+def cooccurrence_graph(
+    mentions: DataFrame, max_chunk_entities: int = 1000, min_chunks: int = 1
+) -> DataFrame:
+    """(src, dst, n_xy, n_x, n_y, n_chunks, lift_ppm): the entity
+    co-occurrence graph mined from the extractor's own mention relation —
+    one undirected edge per entity pair that shares a chunk, weighted by
+    shared-chunk count and lift = P(xy)/(P(x)P(y)) in exact integer ppm.
+    This is the statistical shadow of the LLM-extracted edge set: pairs
+    with high lift but NO extracted triple are extraction-miss candidates,
+    the audit the reference cannot run because its graph never coexists
+    with a corpus-level count relation.
+
+    Shape (the events.cooccurrence_lift pattern on chunk baskets): distinct
+    (chunk_id, entity) incidence → per-chunk entity-count cap BEFORE the
+    pair self-join (a degenerate chunk mentioning 10^4 entities would emit
+    10^8 pair rows; marginals always use ALL chunks) → one map-side-combined
+    (src, dst) count → broadcast 1-row chunk total.
+    """
+    inc = mentions.select(
+        "chunk_id", F.col("entity_name").alias("item")
+    ).distinct()
+    small = (
+        inc.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("csz"))
+        .filter(F.col("csz") <= max_chunk_entities)
+        .select("chunk_id")
+    )
+    basket = inc.join(small, "chunk_id")
+    pairs = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_chunks)
+    )
+    marg = inc.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    total = inc.select("chunk_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        pairs.join(marg.selectExpr("item AS src", "n AS n_x"), "src")
+        .join(marg.selectExpr("item AS dst", "n AS n_y"), "dst")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "src", "dst", "n_xy", "n_x", "n_y", "n_chunks",
+            "n_xy * n_chunks * 1000000L div (n_x * n_y) AS lift_ppm",
+        )
+    )
+
+
+def walk_skipgram_pairs(
+    nodes: DataFrame,
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    length: int = 3,
+    window: int = 2,
+) -> DataFrame:
+    """(center, context, n_pairs): the skip-gram training multiset over
+    the :func:`random_walks` corpus — exactly the (node, context) pair
+    stream a distributed word2vec/node2vec trainer consumes (Grover &
+    Leskovec 2016 reduce node embedding to THIS relation + SGD). Emitted
+    as corpus-wide counts so the trainer's positive-sample weights are
+    one broadcastable relation instead of a re-shuffled pair stream per
+    epoch.
+
+    Pairs are (i, j) positions within one walk with 1 ≤ |i−j| ≤ window,
+    both directions (skip-gram is asymmetric in the loss even though the
+    pair set is symmetric — emitting both keeps the contract explicit).
+
+    Shape: the walk corpus is (length+1)·W·n rows; the self-join keys on
+    walk_id whose partition size is ≤ length+1 rows — bounded by a
+    CONSTANT, so the join cannot skew regardless of graph shape (hubs
+    influence which names appear, not partition sizes). One
+    map-side-combined (center, context) count follows; its key space is
+    bounded by the realized co-visit pairs ≤ |E|·window·W.
+    """
+    walks = random_walks(nodes, edges, walks_per_node, length)
+    return (
+        walks.alias("a")
+        .join(
+            walks.alias("b"),
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("a.step") != F.col("b.step"))
+            & (F.abs(F.col("a.step") - F.col("b.step")) <= window),
+        )
+        .groupBy(
+            F.col("a.node").alias("center"), F.col("b.node").alias("context")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -491,3 +491,160 @@ def hapax_stats(docs: DataFrame) -> DataFrame:
         "n_hapax * 1000000L div n_distinct AS hapax_ppm",
         "n_distinct * 1000000L div n_tokens AS ttr_ppm",
     )
+
+
+def docsim_topk(
+    docs: DataFrame, k: int = 3, max_df: int = 200, tf_cap: int = 1000
+) -> DataFrame:
+    """(doc_id, other_id, dot_w, shared_terms, rnk): each document's top-k
+    nearest documents by sparse TF-IDF dot product over a df-capped
+    inverted index — the classic sparse-retrieval dedup/similarity
+    primitive (Salton's vector model), complementary to the DENSE
+    embedding near-dup path (dedup.embedding_near_duplicates): it needs
+    no encoder and surfaces lexical overlap the embedding space smooths
+    away.
+
+    Exact-integer contract: idf_mil = (N·1000) div df (raw-ratio IDF, the
+    bm25_topk convention), weight w = min(tf, tf_cap) · idf_mil; the score
+    is the UNNORMALIZED dot Σ w_a·w_b — like BM25, ranking-oriented, no
+    float norm anywhere, so the DuckDB twin hashes bit-identically. Ties
+    break by other_id asc. int64 envelope: w ≤ tf_cap·1000·N; with the
+    default caps the per-pair dot stays far inside int64 up to ~10^7 docs —
+    past that, promote the product to DECIMAL(38,0) (the hits() pattern).
+
+    Scale shape: terms with df > ``max_df`` are dropped from the FEATURE
+    SPACE (stop-word semantics, documented contract — they carry near-zero
+    idf anyway); the pair join is a posting-list self-join on term, so its
+    output is Σ_term df² ≤ max_df · |postings| — linear in corpus size with
+    a hard per-term bound, never all-pairs. One groupBy on (doc_a, doc_b)
+    with map-side combine, then a per-doc top-k window (millions of tiny
+    partitions).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    feat = (
+        tf.join(dfreq.filter(F.col("df") <= max_df), "term")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "term", "doc_id",
+            f"least(tf, {tf_cap}) * ((n_docs * 1000L) div df) AS w",
+        )
+    )
+    pairs = (
+        feat.alias("a")
+        .join(
+            feat.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("other_id"),
+        )
+        .agg(
+            F.sum(F.expr("a.w * b.w")).alias("dot_w"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("dot_w"), F.asc("other_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def source_drift(docs: DataFrame) -> DataFrame:
+    """(source, n_terms, n_overlap, tv_ppm): per-source unigram
+    distribution drift vs the whole corpus as total-variation distance
+
+        TV(s) = 1/2 · Σ_w |p_s(w) − p(w)|
+
+    in exact integer ppm (p in ppm by integer div; missing terms count 0) —
+    the log-free sibling of the KL domain-shift audit every mixture-tuned
+    training corpus needs (domain_mix decides WEIGHTS; this measures how
+    far each source's token distribution actually sits from the blend).
+    TV is chosen over KL exactly because it needs no log: the whole
+    statistic survives the bit-exact cross-engine hash gate.
+
+    Shape: one (source, term) count groupBy and one term groupBy over the
+    same token stream; the full-vocabulary alignment is sources × V rows —
+    the source dimension is tiny (a mixture has tens of sources, not
+    millions), so the cross join is bounded at |V|·S with the small side
+    broadcast; per-source absolute-difference sum is one map-side-combined
+    aggregate. n_overlap counts vocabulary terms the source actually emits.
+    """
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    sc = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("tot_s"))
+    corpus = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cc"))
+    ctot = corpus.agg(F.sum("cc").alias("tot"))
+    corpus_p = corpus.crossJoin(F.broadcast(ctot)).selectExpr(
+        "term", "cc * 1000000L div tot AS p_ppm"
+    )
+    aligned = (
+        corpus_p.crossJoin(F.broadcast(stot))
+        .join(sc, ["source", "term"], "left")
+        .selectExpr(
+            "source",
+            "term",
+            "p_ppm",
+            "coalesce(c, 0L) * 1000000L div tot_s AS ps_ppm",
+            "CASE WHEN c IS NOT NULL THEN 1L ELSE 0L END AS hit",
+        )
+    )
+    return (
+        aligned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("hit").alias("n_overlap"),
+            F.expr("sum(abs(ps_ppm - p_ppm)) div 2").alias("tv_ppm"),
+        )
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 32) -> DataFrame:
+    """(left, right, n_pairs, rnk): the first BPE merge round (Sennrich et
+    al. 2016) — corpus-wide adjacent character-pair frequencies within
+    words, global top-k. Iterated with a merge table this IS tokenizer
+    training; the first round is the exact primitive (and the by-far
+    heaviest: later rounds shrink the symbol stream), so it is the right
+    single-round operator for a tokenizer-training data pipeline at
+    corpus scale.
+
+    Exact contract both engines share: words split on single spaces,
+    1-char words contribute nothing, position i pairs substr(i,1) with
+    substr(i+1,1); top-k by (count DESC, left ASC, right ASC).
+
+    Shape: two generators (word explode, position explode — no shuffle),
+    ONE map-side-combined (left, right) count whose key space is bounded
+    by |alphabet|² — the partial aggregate collapses the char stream
+    before the exchange, so the shuffle is ~constant-size regardless of
+    corpus bytes; the global top-k row_number plans as
+    TakeOrderedAndProject (the linkpred_ra pattern), never a
+    single-partition sort of the full count relation.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.expr("explode(sequence(1, length(word) - 1))").alias("i"), "word"
+    ).select(
+        F.expr("substring(word, i, 1)").alias("left"),
+        F.expr("substring(word, i + 1, 1)").alias("right"),
+    )
+    counts = pairs.groupBy("left", "right").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("left"), F.asc("right"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

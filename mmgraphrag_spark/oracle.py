@@ -1794,3 +1794,106 @@ SELECT n.entity_name,
 FROM fused_nodes n
 LEFT JOIN tr_pn p ON n.entity_name = p.name
 LEFT JOIN tr_deg d ON n.entity_name = d.u""")
+
+
+def _random_walk_ctes(walks_per_node: int = 2, length: int = 3) -> str:
+    """Shared CTE chain for the walk-corpus twins (random_walks_select and
+    walk_pairs_select): identical md5-rank hop rule over the rank-indexed
+    symmetric adjacency, one MATERIALIZED CTE per step (each step
+    references the previous frontier; materialization keeps the plan
+    linear in ``length``, the pagerank_select lesson). Ends with ``rw_out``
+    = the (walk_id, step, node) corpus relation."""
+    s = f"""
+, rw_sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM fused_edges
+  UNION
+  SELECT dst AS u, src AS v FROM fused_edges
+), rw_deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM rw_sym GROUP BY u
+), rw_adj AS MATERIALIZED (
+  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS r
+  FROM rw_sym
+), rw_f0 AS MATERIALIZED (
+  SELECT n.entity_name || '#' || CAST(w.w AS VARCHAR) AS walk_id,
+         n.entity_name AS cur
+  FROM fused_nodes n
+  CROSS JOIN (SELECT unnest(range(0, {walks_per_node})) AS w) w
+)"""
+    for step in range(1, length + 1):
+        s += f"""
+, rw_f{step} AS MATERIALIZED (
+  SELECT f.walk_id, a.v AS cur
+  FROM rw_f{step - 1} f
+  JOIN rw_deg d ON d.u = f.cur
+  JOIN rw_adj a ON a.u = f.cur
+   AND a.r = ('0x' || substr(md5(f.walk_id || ':{step}'), 1, 15))::BIGINT
+              % d.deg
+)"""
+    parts = [
+        f"SELECT walk_id, CAST({i} AS BIGINT) AS step, cur AS node FROM rw_f{i}"
+        for i in range(0, length + 1)
+    ]
+    return (
+        s
+        + "\n, rw_out AS MATERIALIZED (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n)"
+    )
+
+
+def random_walks_select(walks_per_node: int = 2, length: int = 3) -> str:
+    """Twin of operators/graphalgo.random_walks (see _random_walk_ctes)."""
+    return (
+        _random_walk_ctes(walks_per_node, length)
+        + "\nSELECT walk_id, step, node FROM rw_out"
+    )
+
+
+def walk_pairs_select(
+    walks_per_node: int = 2, length: int = 3, window: int = 2
+) -> str:
+    """Twin of operators/graphalgo.walk_skipgram_pairs: self-join of the
+    walk corpus on walk_id with |Δstep| ∈ [1, window], global pair count."""
+    return (
+        _random_walk_ctes(walks_per_node, length)
+        + f"""
+SELECT a.node AS center, b.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM rw_out a JOIN rw_out b
+  ON a.walk_id = b.walk_id
+ AND a.step <> b.step
+ AND abs(a.step - b.step) <= {window}
+GROUP BY 1, 2"""
+    )
+
+
+def cooccurrence_graph_select(
+    max_chunk_entities: int = 1000, min_chunks: int = 1
+) -> str:
+    """Twin of operators/graphalgo.cooccurrence_graph: chunk-basket pair
+    join capped pre-join, marginals over ALL chunks, exact ppm lift."""
+    return f"""
+, co_inc AS (
+  SELECT DISTINCT chunk_id, entity_name AS item FROM mentions
+), co_small AS (
+  SELECT chunk_id FROM co_inc GROUP BY chunk_id
+  HAVING COUNT(*) <= {max_chunk_entities}
+), co_basket AS (
+  SELECT i.chunk_id, i.item FROM co_inc i JOIN co_small s USING (chunk_id)
+), co_pairs AS (
+  SELECT a.item AS src, b.item AS dst, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM co_basket a JOIN co_basket b
+    ON a.chunk_id = b.chunk_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_chunks}
+), co_marg AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM co_inc GROUP BY item
+), co_tot AS (
+  SELECT CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks FROM co_inc
+)
+SELECT p.src, p.dst, p.n_xy, x.n AS n_x, y.n AS n_y, t.n_chunks,
+       p.n_xy * t.n_chunks * 1000000 // (x.n * y.n) AS lift_ppm
+FROM co_pairs p
+JOIN co_marg x ON p.src = x.item
+JOIN co_marg y ON p.dst = y.item
+CROSS JOIN co_tot t"""

@@ -1717,3 +1717,189 @@ SELECT doc_id,
        CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm
 FROM per GROUP BY doc_id
 """
+
+
+def docsim_sql(k: int = 3, max_df: int = 200, tf_cap: int = 1000) -> str:
+    """Twin of textstats.docsim_topk: identical df-capped feature space,
+    integer idf_mil weights, unnormalized dot, per-doc top-k with
+    (dot DESC, other_id ASC) ties."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+feat AS (
+  SELECT t.term, t.doc_id,
+         least(t.tf, {tf_cap}) * ((x.n_docs * 1000) // f.df) AS w
+  FROM tf t JOIN dfreq f ON t.term = f.term AND f.df <= {max_df}
+  CROSS JOIN total x
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS other_id,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot_w,
+         CAST(COUNT(*) AS BIGINT) AS shared_terms
+  FROM feat a JOIN feat b
+    ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id, other_id, dot_w, shared_terms, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY dot_w DESC, other_id ASC) AS BIGINT) AS rnk
+  FROM pairs
+) WHERE rnk <= {k}
+"""
+
+
+def source_drift_sql() -> str:
+    """Twin of textstats.source_drift: identical ppm floor-div
+    distributions and total-variation halving."""
+    return """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+sc AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term),
+stot AS (SELECT source, SUM(c) AS tot_s FROM sc GROUP BY source),
+corpus AS (SELECT term, COUNT(*) AS cc FROM toks GROUP BY term),
+ctot AS (SELECT SUM(cc) AS tot FROM corpus),
+corpus_p AS (
+  SELECT term, cc * 1000000 // tot AS p_ppm FROM corpus CROSS JOIN ctot
+),
+aligned AS (
+  SELECT s.source, p.term, p.p_ppm,
+         COALESCE(c.c, 0) * 1000000 // s.tot_s AS ps_ppm,
+         CASE WHEN c.c IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM corpus_p p
+  CROSS JOIN stot s
+  LEFT JOIN sc c ON c.source = s.source AND c.term = p.term
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(hit) AS BIGINT) AS n_overlap,
+       CAST(SUM(abs(ps_ppm - p_ppm)) // 2 AS BIGINT) AS tv_ppm
+FROM aligned GROUP BY source
+"""
+
+
+def cusum_sql(
+    slack_pct: int = 25, threshold_x: int = 3, grain_us: int = 86_400_000_000
+) -> str:
+    """Twin of events.cusum_changepoints: the same densified day grid and
+    prefix-sum/prefix-min rewrite of the one-sided CUSUM recurrence."""
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {grain_us} AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1, SUM(x) AS total
+  FROM daily GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(range(d0, d1 + 1)) AS day,
+         (total * 1000000) // (d1 - d0 + 1) AS mean_ppm
+  FROM span
+),
+dense AS (
+  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x, g.mean_ppm,
+         COALESCE(d.x, 0) * 1000000 - g.mean_ppm
+           - (g.mean_ppm * {slack_pct}) // 100 AS dd
+  FROM grid g LEFT JOIN daily d
+    ON d.event_type = g.event_type AND d.day = g.day
+),
+pref AS (
+  SELECT event_type, day, x, mean_ppm,
+         SUM(dd) OVER wp AS ct
+  FROM dense
+  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cum AS (
+  SELECT event_type, day, x, mean_ppm,
+         ct - least(MIN(ct) OVER wp, 0) AS cusum_ppm
+  FROM pref
+  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x,
+       CAST(cusum_ppm AS BIGINT) AS cusum_ppm,
+       cusum_ppm > {threshold_x} * mean_ppm AS alarm
+FROM cum
+"""
+
+
+def bpe_pairs_sql(k: int = 32) -> str:
+    """Twin of textstats.bpe_pair_counts: identical in-word adjacent
+    char-pair rule and (count DESC, left, right) top-k."""
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS "left", substr(word, i + 1, 1) AS "right"
+  FROM (SELECT word, unnest(range(1, length(word))) AS i
+        FROM words WHERE length(word) >= 2)
+),
+counts AS (
+  SELECT "left", "right", CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1, 2
+)
+SELECT "left", "right", n_pairs, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, "left", "right")
+                 AS BIGINT) AS rnk
+  FROM counts
+) WHERE rnk <= {k}
+"""
+
+
+def token_budget_mix_sql(budget_tokens: int = 500) -> str:
+    """Twin of curation.token_budget_mix: identical md5 shuffle rank and
+    closed-prefix running-sum admission."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         <= {budget_tokens} AS kept
+FROM toks
+"""
+
+
+def rfm_sql(quantiles: int = 4) -> str:
+    """Twin of events.rfm_segments: identical per-user collapse, day floor
+    division, and total-ordered ntile tie contract."""
+    return f"""
+WITH per_user AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events GROUP BY user_id
+),
+mark AS (SELECT MAX(last_us) AS mark_us FROM per_user),
+base AS (
+  SELECT user_id, (mark_us - last_us) // 86400000000 AS recency_days,
+         frequency, monetary_cents
+  FROM per_user CROSS JOIN mark
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+       CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(100 * r_q + 10 * f_q + m_q AS BIGINT) AS rfm_code
+FROM (
+  SELECT *,
+         ntile({quantiles}) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_q,
+         ntile({quantiles}) OVER (ORDER BY frequency DESC, user_id ASC) AS f_q,
+         ntile({quantiles}) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_q
+  FROM base
+)
+"""

@@ -628,3 +628,37 @@ def test_hapax_stats_matches_python_twin(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_token_budget_mix_matches_python_twin_and_is_budget_monotone(spark):
+    import hashlib
+
+    docs = curation.docs_table(spark, SF_TINY).limit(60)
+    rows = docs.collect()
+    order = {}
+    for r in rows:
+        order.setdefault(r.source, []).append(
+            (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id,
+             len(r.text.split(" ")))
+        )
+    budget = 500
+    want = {}
+    for src, lst in order.items():
+        lst.sort()
+        cum = 0
+        for rk, did, n in lst:
+            cum += n
+            want[did] = (src, n, cum, cum <= budget)
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.cum_tokens, r.kept)
+        for r in curation.token_budget_mix(docs, budget).collect()
+    }
+    assert got == want
+    # budget monotonicity: a bigger budget only ever ADDS kept docs
+    kept_small = {d for d, (_, _, _, k) in got.items() if k}
+    kept_big = {
+        r.doc_id
+        for r in curation.token_budget_mix(docs, budget * 2).collect()
+        if r.kept
+    }
+    assert kept_small <= kept_big

@@ -722,3 +722,120 @@ def test_semantic_clusters_compose_pairs_and_collapse(spark):
     assert got == want
     # at least one non-trivial cluster exists at this sf (61 pairs)
     assert any(v != k for k, v in got.items())
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_docsim_topk_matches_python_twin(spark):
+    d = _docs(spark, [
+        (1, "spark shuffle join window spark"),
+        (2, "spark shuffle join batch"),
+        (3, "window spark stream stream"),
+        (4, "totally disjoint tokens here"),
+    ])
+    n_docs, tf, dfq = 4, {}, {}
+    rows = [(1, "spark shuffle join window spark"),
+            (2, "spark shuffle join batch"),
+            (3, "window spark stream stream"),
+            (4, "totally disjoint tokens here")]
+    for did, text in rows:
+        seen = {}
+        for t in text.split(" "):
+            seen[t] = seen.get(t, 0) + 1
+        for t, c in seen.items():
+            tf[(did, t)] = c
+            dfq[t] = dfq.get(t, 0) + 1
+    max_df, k = 200, 3
+    dots, shared = {}, {}
+    for (a, ta), ca in tf.items():
+        for (b, tb), cb in tf.items():
+            if ta != tb or a == b or dfq[ta] > max_df:
+                continue
+            w = (n_docs * 1000) // dfq[ta]
+            dots[(a, b)] = dots.get((a, b), 0) + min(ca, 1000) * w * min(cb, 1000) * w
+            shared[(a, b)] = shared.get((a, b), 0) + 1
+    want = set()
+    by_a = {}
+    for (a, b), dot in dots.items():
+        by_a.setdefault(a, []).append((-dot, b))
+    for a, lst in by_a.items():
+        for rnk, (negd, b) in enumerate(sorted(lst)[:k], start=1):
+            want.add((a, b, -negd, shared[(a, b)], rnk))
+    got = {
+        (r.doc_id, r.other_id, r.dot_w, r.shared_terms, r.rnk)
+        for r in textstats.docsim_topk(d, k=k, max_df=max_df).collect()
+    }
+    assert got == want
+    assert not any(r[0] == 4 or r[1] == 4 for r in got)  # disjoint doc absent
+
+
+def test_docsim_df_cap_drops_stop_terms_from_features(spark):
+    # 'the' appears in every doc; with max_df=2 it must carry zero weight,
+    # so docs sharing ONLY 'the' form no pair at all
+    d = _docs(spark, [
+        (1, "the alpha beta"), (2, "the alpha beta"),
+        (3, "the gamma delta"),
+    ])
+    got = {(r.doc_id, r.other_id) for r in
+           textstats.docsim_topk(d, k=3, max_df=2).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_source_drift_matches_python_twin_and_orders_sources(spark):
+    d = _docs_src(spark, [
+        (1, "a a b", "mix"),      # near-corpus blend
+        (2, "a b c", "mix"),
+        (3, "z z z z", "weird"),  # far from the blend
+    ])
+    # python twin with identical floor-div ppm math
+    toks = [("mix", t) for t in "a a b a b c".split()] + [
+        ("weird", t) for t in "z z z z".split()
+    ]
+    corpus, per_src, stot = {}, {}, {}
+    for s, t in toks:
+        corpus[t] = corpus.get(t, 0) + 1
+        per_src[(s, t)] = per_src.get((s, t), 0) + 1
+        stot[s] = stot.get(s, 0) + 1
+    tot = sum(corpus.values())
+    want = {}
+    for s in stot:
+        tv = sum(
+            abs(per_src.get((s, t), 0) * 1_000_000 // stot[s]
+                - c * 1_000_000 // tot)
+            for t, c in corpus.items()
+        ) // 2
+        want[s] = (len(corpus), sum(1 for (s2, _) in per_src if s2 == s), tv)
+    got = {
+        r.source: (r.n_terms, r.n_overlap, r.tv_ppm)
+        for r in textstats.source_drift(d).collect()
+    }
+    assert got == want
+    assert got["weird"][2] > got["mix"][2]  # outlier source drifts further
+
+
+def test_bpe_pair_counts_matches_python_twin(spark):
+    d = _docs(spark, [(1, "aab ab x"), (2, "bba aab")])
+    texts = ["aab ab x", "bba aab"]
+    counts = {}
+    for t in texts:
+        for word in t.split(" "):
+            if len(word) < 2:
+                continue  # 1-char words contribute nothing
+            for i in range(len(word) - 1):
+                counts[(word[i], word[i + 1])] = counts.get(
+                    (word[i], word[i + 1]), 0
+                ) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {
+        (l, r, n, i + 1) for i, ((l, r), n) in enumerate(ranked)
+    }
+    got = {
+        (r["left"], r["right"], r["n_pairs"], r["rnk"])
+        for r in textstats.bpe_pair_counts(d, k=32).collect()
+    }
+    assert got == want
+    # 'ab' is the dominant pair (appears in aab x2, ab, aab) -> rank 1
+    top = [x for x in got if x[3] == 1][0]
+    assert (top[0], top[1]) == ("a", "b")

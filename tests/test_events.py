@@ -538,3 +538,116 @@ def test_interarrival_matches_python_twin(spark):
         for r in ev.interarrival(ev.events_table(spark, SF_TINY)).collect()
     }
     assert got == want
+
+
+def test_cusum_matches_textbook_recurrence_and_alarms_on_shift(spark):
+    """The prefix-sum/prefix-min rewrite equals Page's recursive
+    S_t = max(0, S_{t-1} + d_t) — including across a zero-event gap day —
+    and the alarm fires only after the volume shift."""
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # type 'steady': 5 events/day for days 0..9 (never alarms)
+    for day in range(10):
+        for _ in range(5):
+            rows.append((eid, base + datetime.timedelta(days=day), 1, "steady", 1.0, "{}"))
+            eid += 1
+    # type 'burst': 2/day for days 0..5, day 6 SILENT, then 40/day days 7..9
+    for day in range(6):
+        for _ in range(2):
+            rows.append((eid, base + datetime.timedelta(days=day), 2, "burst", 1.0, "{}"))
+            eid += 1
+    for day in range(7, 10):
+        for _ in range(40):
+            rows.append((eid, base + datetime.timedelta(days=day), 2, "burst", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.event_type, r.day): (r.x, r.cusum_ppm, r.alarm)
+        for r in ev.cusum_changepoints(df).collect()
+    }
+    # python twin: the textbook recursion over the densified grid
+    day_us = ev.DAY_US
+    epoch = datetime.datetime(1970, 1, 1)
+    series = {}
+    for _eid, ts, _u, et, _v, _p in rows:
+        d = int((ts - epoch).total_seconds() * 1_000_000) // day_us
+        series.setdefault(et, {})[d] = series.setdefault(et, {}).get(d, 0) + 1
+    want = {}
+    for et, by_day in series.items():
+        d0, d1 = min(by_day), max(by_day)
+        total = sum(by_day.values())
+        mean = total * 1_000_000 // (d1 - d0 + 1)
+        slack = mean * 25 // 100
+        s = 0
+        for d in range(d0, d1 + 1):
+            x = by_day.get(d, 0)
+            s = max(0, s + x * 1_000_000 - mean - slack)
+            want[(et, d)] = (x, s, s > 3 * mean)
+    assert got == want
+    # steady stream never alarms; the burst type alarms only post-shift
+    assert not any(a for (et, _), (_, _, a) in got.items() if et == "steady")
+    burst_alarm_days = sorted(
+        d for (et, d), (_, _, a) in got.items() if et == "burst" and a
+    )
+    assert burst_alarm_days
+    first_burst_day = min(series["burst"])
+    assert min(burst_alarm_days) >= first_burst_day + 7  # after the shift
+    # the silent gap day exists in the output with x = 0
+    gap_day = first_burst_day + 6
+    assert got[("burst", gap_day)][0] == 0
+
+
+def _py_ntile(keys, q):
+    """keys: list of sort keys in tile order. Returns tile per index."""
+    n = len(keys)
+    base, rem = divmod(n, q)
+    tiles, start = {}, 0
+    for t in range(1, q + 1):
+        size = base + (1 if t <= rem else 0)
+        for i in range(start, start + size):
+            tiles[i] = t
+        start += size
+    return tiles
+
+
+def test_rfm_segments_matches_python_twin(spark):
+    df = ev.events_table(spark, SF_TINY)
+    rows = df.collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    per = {}
+    for r in rows:
+        us = int((r.ts - epoch).total_seconds() * 1_000_000 + 0.5)
+        cents = round(r.value * 100)
+        u = per.setdefault(r.user_id, [0, 0, 0])
+        u[0] = max(u[0], us)
+        u[1] += 1
+        u[2] += int(cents)
+    mark = max(v[0] for v in per.values())
+    base = {
+        uid: ((mark - v[0]) // 86_400_000_000, v[1], v[2])
+        for uid, v in per.items()
+    }
+    q = 4
+    r_order = sorted(base, key=lambda u: (base[u][0], u))
+    f_order = sorted(base, key=lambda u: (-base[u][1], u))
+    m_order = sorted(base, key=lambda u: (-base[u][2], u))
+    r_t, f_t, m_t = (_py_ntile(o, q) for o in (r_order, f_order, m_order))
+    want = {}
+    for uid, (rec, fr, mo) in base.items():
+        rq = r_t[r_order.index(uid)]
+        fq = f_t[f_order.index(uid)]
+        mq = m_t[m_order.index(uid)]
+        want[uid] = (rec, fr, mo, rq, fq, mq, 100 * rq + 10 * fq + mq)
+    got = {
+        r.user_id: (
+            r.recency_days, r.frequency, r.monetary_cents,
+            r.r_q, r.f_q, r.m_q, r.rfm_code,
+        )
+        for r in ev.rfm_segments(df).collect()
+    }
+    assert got == want

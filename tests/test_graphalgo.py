@@ -649,3 +649,125 @@ def test_clustering_coefficient_known_graph(spark):
         "c": (2, 1, 1_000_000),
         "d": (1, 0, 0),
     }
+
+
+def _py_walks(names, edges, walks_per_node=2, length=3):
+    import hashlib
+
+    adjset = {}
+    for a, b in edges:
+        adjset.setdefault(a, set()).add(b)
+        adjset.setdefault(b, set()).add(a)
+    adj = {u: sorted(vs) for u, vs in adjset.items()}
+    out = set()
+    for n in names:
+        for w in range(walks_per_node):
+            wid, cur = f"{n}#{w}", n
+            out.add((wid, 0, cur))
+            for step in range(1, length + 1):
+                nbrs = adj.get(cur, [])
+                if not nbrs:
+                    break
+                h = int(
+                    hashlib.md5(f"{wid}:{step}".encode()).hexdigest()[:15], 16
+                )
+                cur = nbrs[h % len(nbrs)]
+                out.add((wid, step, cur))
+    return out
+
+
+def test_random_walks_matches_python_twin(spark):
+    # triangle + pendant + isolated node: walks leave iso at step 0 only
+    names = ["a", "b", "c", "d", "iso"]
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.walk_id, r.step, r.node)
+        for r in graphalgo.random_walks(ndf, edf).collect()
+    }
+    assert got == _py_walks(names, edges)
+    # isolated node contributes exactly its two step-0 rows
+    assert {(w, s, n) for (w, s, n) in got if n == "iso"} == {
+        ("iso#0", 0, "iso"), ("iso#1", 0, "iso")
+    }
+    # every emitted hop is a real edge (valid-walk invariant)
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    by_walk = {}
+    for w, s, n in got:
+        by_walk.setdefault(w, {})[s] = n
+    for steps in by_walk.values():
+        for s in range(1, max(steps)):
+            if s in steps and s + 1 in steps:
+                assert (steps[s], steps[s + 1]) in sym
+
+
+def test_random_walks_hub_cost_is_one_row_per_visit(spark):
+    # star hub with 50 leaves: each step's adjacency join must match
+    # exactly one row per frontier walk (rank equi-join, not fan-out) —
+    # total rows = n_walks * (length + 1) when no walk dies
+    leaves = [f"l{i}" for i in range(50)]
+    names = ["h"] + leaves
+    edges = [("h", l) for l in leaves]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    df = graphalgo.random_walks(ndf, edf, walks_per_node=1, length=4)
+    rows = df.collect()
+    # connected graph, no dead ends: every walk runs the full length
+    assert len(rows) == len(names) * 5
+    assert len({r.walk_id for r in rows}) == len(names)
+    # walks from leaves bounce through the hub on even steps
+    for r in rows:
+        if r.walk_id.startswith("l") and r.step % 2 == 1:
+            assert r.node == "h"
+
+
+def test_cooccurrence_graph_matches_python_twin_and_caps_megachunk(spark):
+    rows = [
+        # chunk 1: a, b, c  -> pairs ab ac bc
+        (1, "a"), (1, "b"), (1, "c"),
+        # chunk 2: a, b     -> pair ab (n_xy(ab) = 2)
+        (2, "a"), (2, "b"),
+        # chunk 3: mega-chunk over the cap: contributes NO pairs but
+        # still counts in marginals and the chunk total
+        (3, "a"), (3, "b"), (3, "c"), (3, "d"), (3, "e"),
+    ]
+    m = spark.createDataFrame(rows, "chunk_id long, entity_name string")
+    got = {
+        (r.src, r.dst): (r.n_xy, r.n_x, r.n_y, r.n_chunks, r.lift_ppm)
+        for r in graphalgo.cooccurrence_graph(m, max_chunk_entities=4).collect()
+    }
+    # marginals over ALL chunks: n(a)=3 n(b)=3 n(c)=2; N=3
+    want = {
+        ("a", "b"): (2, 3, 3, 3, 2 * 3 * 1_000_000 // 9),
+        ("a", "c"): (1, 3, 2, 3, 1 * 3 * 1_000_000 // 6),
+        ("b", "c"): (1, 3, 2, 3, 1 * 3 * 1_000_000 // 6),
+    }
+    assert got == want
+    # d/e only appear in the capped chunk: no pair row mentions them
+    assert not any("d" in p or "e" in p for p in got)
+
+
+def test_walk_skipgram_pairs_matches_python_twin(spark):
+    names = ["a", "b", "c", "d"]
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    corpus = _py_walks(names, edges)  # (walk_id, step, node)
+    by_walk = {}
+    for w, s, n in corpus:
+        by_walk.setdefault(w, {})[s] = n
+    window = 2
+    want = {}
+    for steps in by_walk.values():
+        for i, ni in steps.items():
+            for j, nj in steps.items():
+                if i != j and abs(i - j) <= window:
+                    want[(ni, nj)] = want.get((ni, nj), 0) + 1
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in graphalgo.walk_skipgram_pairs(ndf, edf).collect()
+    }
+    assert got == want
+    # symmetric multiset: both directions carry identical counts
+    assert all(got[(b, a)] == n for (a, b), n in got.items())
