@@ -89,6 +89,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": lambda s, d: events.rfm_segments(
             events.events_table(s, d)
         ),
+        # per-community argmax-PageRank representative (LPA × PageRank,
+        # compositional twin)
+        "kg_community_reps": api.community_reps,
+        # canonical-document election: keep the highest-quality member of
+        # each near-dup cluster (clusters × quality, compositional twin)
+        "dup_canonical": lambda s, d: dedup.canonical_documents(
+            dedup.docs_table(s, d)
+        ),
         # first BPE merge round: corpus adjacent char-pair counts, top-k
         "text_bpe_pairs": lambda s, d: textstats.bpe_pair_counts(
             curation.docs_table(s, d)
@@ -426,6 +434,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccur": oracle.q(oracle.cooccurrence_graph_select()),
         "kg_walk_pairs": oracle.q(oracle.walk_pairs_select()),
         "events_rfm": oracle_extra.rfm_sql(),
+        "kg_community_reps": oracle.q(oracle.community_reps_select()),
+        "dup_canonical": oracle_extra.canonical_docs_sql(),
         "text_bpe_pairs": oracle_extra.bpe_pairs_sql(),
         "curation_token_mix": oracle_extra.token_budget_mix_sql(),
         "dup_containment": oracle_extra.containment_sql(threshold=0.2),

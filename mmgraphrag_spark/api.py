@@ -585,3 +585,11 @@ def walk_pairs(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) 
 
     n, e = fused_graph(spark, sf_dir, cfg)
     return graphalgo.walk_skipgram_pairs(n, e)
+
+
+def community_reps(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Per-community argmax-PageRank representatives (graphalgo.py)."""
+    from .operators import graphalgo
+
+    n, e = fused_graph(spark, sf_dir, cfg)
+    return graphalgo.community_representatives(n, e)

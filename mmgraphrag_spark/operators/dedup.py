@@ -838,3 +838,41 @@ def semantic_clusters(
     return out.select(
         F.col("doc_id").alias("vec_id"), F.col("cluster_rep")
     )
+
+
+def canonical_documents(
+    docs: DataFrame, cfg: PipelineConfig = DEFAULT
+) -> DataFrame:
+    """(doc_id, cluster_rep, quality_ppm, canonical_id, kept): canonical-
+    document election — CCNet/C4-style "keep the best duplicate": within
+    each near-duplicate cluster the member with the highest quality score
+    (ties by doc_id asc) is elected canonical; every member row carries
+    its verdict, so the relation is the dedup decision's audit trail
+    (filter ``kept`` for the surviving corpus).
+
+    Pure composition of two verified operators —
+    :func:`duplicate_clusters` (min-label components over the
+    LSH-verified pair graph) × ``textstats.quality_scores`` — one
+    equi-join on doc_id and one full-frame first_value window per
+    cluster. The DuckDB twin composes both stage twins verbatim
+    (compositional verification). Cluster partitions are bounded by the
+    largest near-dup clique — the same bound the collapse itself has.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import quality_scores
+
+    clusters = duplicate_clusters(docs, cfg=cfg)
+    q = quality_scores(docs).select("doc_id", "quality_ppm")
+    j = clusters.join(q, "doc_id")
+    w = (
+        Window.partitionBy("cluster_rep")
+        .orderBy(F.desc("quality_ppm"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return j.withColumn(
+        "canonical_id", F.first("doc_id").over(w)
+    ).selectExpr(
+        "doc_id", "cluster_rep", "quality_ppm", "canonical_id",
+        "doc_id = canonical_id AS kept",
+    )

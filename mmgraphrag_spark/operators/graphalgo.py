@@ -1258,3 +1258,39 @@ def walk_skipgram_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def community_representatives(
+    nodes: DataFrame, edges: DataFrame, iters: int = 4, pr_iters: int = 5
+) -> DataFrame:
+    """(community, rep, rep_rank_scaled, n_members): one representative
+    entity per LPA community — the argmax-PageRank member (ties by name
+    asc) plus the community size. This is the community-summary seed the
+    query layer wants (scope a context to a community, label it by its
+    most central member) and a pure COMPOSITION of two already-verified
+    operators: :func:`label_propagation` × :func:`pagerank`, one equi-join
+    on entity_name, one per-community argmax window. The DuckDB twin
+    composes the SAME two unrolled CTE chains verbatim (compositional
+    verification, the curation_funnel pattern).
+
+    No new scale surface: both inputs are per-node relations; the join
+    and both windows key on entity_name / community, and community
+    partition sizes are the argmax window's only skew exposure — bounded
+    by the biggest community, the same bound LPA itself already carries.
+    """
+    from pyspark.sql import Window
+
+    comm = label_propagation(nodes, edges, iters)
+    pr = pagerank(nodes, edges, pr_iters)
+    j = comm.join(pr, "entity_name")
+    wc = Window.partitionBy("community")
+    w = wc.orderBy(F.desc("rank_scaled"), F.asc("entity_name"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .selectExpr(
+            "community", "entity_name AS rep",
+            "rank_scaled AS rep_rank_scaled", "n_members",
+        )
+    )

@@ -1897,3 +1897,28 @@ FROM co_pairs p
 JOIN co_marg x ON p.src = x.item
 JOIN co_marg y ON p.dst = y.item
 CROSS JOIN co_tot t"""
+
+
+def community_reps_select(iters: int = 4, pr_iters: int = 5) -> str:
+    """Twin of operators/graphalgo.community_representatives: the
+    pagerank_select and communities_select CTE chains composed VERBATIM
+    (their final top-level SELECTs stripped; inner selects are indented so
+    the rsplit is unambiguous), then one argmax window per community."""
+    pr_chain = pagerank_select(pr_iters).rsplit("\nSELECT", 1)[0]
+    lp_chain = communities_select(iters).rsplit("\nSELECT", 1)[0]
+    return (
+        pr_chain
+        + lp_chain
+        + f"""
+, cr AS (
+  SELECT r.lbl AS community, r.name, p.rank
+  FROM lp_r{iters} r JOIN pr_r{pr_iters} p ON r.name = p.name
+)
+SELECT community, name AS rep, rank AS rep_rank_scaled, n_members FROM (
+  SELECT community, name, rank,
+         ROW_NUMBER() OVER (PARTITION BY community
+                            ORDER BY rank DESC, name ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY community) AS BIGINT) AS n_members
+  FROM cr
+) WHERE rn = 1"""
+    )

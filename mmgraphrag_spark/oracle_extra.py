@@ -1903,3 +1903,28 @@ FROM (
   FROM base
 )
 """
+
+
+def canonical_docs_sql() -> str:
+    """Twin of dedup.canonical_documents: the dup_clusters and quality
+    stage twins composed verbatim, then one full-frame first_value window
+    per cluster with the identical (quality DESC, doc_id ASC) election."""
+    return f"""
+WITH cl AS ({dup_clusters_sql()}),
+q AS ({quality_sql()})
+SELECT doc_id, cluster_rep, quality_ppm,
+       FIRST_VALUE(doc_id) OVER (
+         PARTITION BY cluster_rep
+         ORDER BY quality_ppm DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS canonical_id,
+       doc_id = FIRST_VALUE(doc_id) OVER (
+         PARTITION BY cluster_rep
+         ORDER BY quality_ppm DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS kept
+FROM (
+  SELECT cl.doc_id, cl.cluster_rep, q.quality_ppm
+  FROM cl JOIN q USING (doc_id)
+)
+"""

@@ -839,3 +839,27 @@ def test_bpe_pair_counts_matches_python_twin(spark):
     # 'ab' is the dominant pair (appears in aab x2, ab, aab) -> rank 1
     top = [x for x in got if x[3] == 1][0]
     assert (top[0], top[1]) == ("a", "b")
+
+
+def test_canonical_documents_elects_highest_quality_member(spark):
+    # base/edited are near-dups (one-token edit); 'other' is a singleton
+    base = " ".join(f"w{i}" for i in range(40))
+    edited = base.replace("w20", "zz")
+    other = " ".join(f"q{i}" for i in range(40))
+    d = _docs(spark, [(1, base), (2, edited), (3, other)])
+    got = {
+        r.doc_id: (r.cluster_rep, r.canonical_id, r.kept)
+        for r in dedup.canonical_documents(d).collect()
+    }
+    # 1 and 2 share a cluster (rep = min doc_id = 1); 3 is a singleton
+    assert got[1][0] == got[2][0] == 1 and got[3][0] == 3
+    # composition invariant: the canonical member is the quality argmax
+    q = {
+        r.doc_id: r.quality_ppm
+        for r in textstats.quality_scores(d).collect()
+    }
+    expect_canon = min([1, 2], key=lambda i: (-q[i], i))
+    assert got[1][1] == got[2][1] == expect_canon
+    assert got[3][1] == 3 and got[3][2] is True
+    # exactly one kept member per cluster
+    assert sum(1 for v in got.values() if v[2]) == 2

@@ -771,3 +771,34 @@ def test_walk_skipgram_pairs_matches_python_twin(spark):
     assert got == want
     # symmetric multiset: both directions carry identical counts
     assert all(got[(b, a)] == n for (a, b), n in got.items())
+
+
+def test_community_representatives_composition(spark):
+    # two triangles bridged by nothing + an isolated pair
+    names = ["a", "b", "c", "x", "y", "z", "p", "q"]
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("p", "q")]
+    ndf = spark.createDataFrame([(n,) for n in names], "entity_name string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.community: (r.rep, r.rep_rank_scaled, r.n_members)
+        for r in graphalgo.community_representatives(ndf, edf).collect()
+    }
+    # composition invariant: rep == argmax of the engine's own pagerank
+    # within the engine's own LPA community (ties by name)
+    comm = {
+        r.entity_name: r.community
+        for r in graphalgo.label_propagation(ndf, edf).collect()
+    }
+    pr = {
+        r.entity_name: r.rank_scaled
+        for r in graphalgo.pagerank(ndf, edf).collect()
+    }
+    want = {}
+    for c in set(comm.values()):
+        members = [n for n, cc in comm.items() if cc == c]
+        rep = min(members, key=lambda n: (-pr[n], n))
+        want[c] = (rep, pr[rep], len(members))
+    assert got == want
+    # every node is in exactly one community; sizes sum to n
+    assert sum(v[2] for v in got.values()) == len(names)
