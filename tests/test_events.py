@@ -651,3 +651,28 @@ def test_rfm_segments_matches_python_twin(spark):
         for r in ev.rfm_segments(df).collect()
     }
     assert got == want
+
+
+def test_cusum_single_exchange_per_series(spark):
+    """The detector's windows must reuse the daily-count partitioning:
+    no join in the plan except the grid left join, and no more than the
+    expected exchanges (daily groupBy, span groupBy, grid join shuffle)."""
+    df = ev.events_table(spark, SF_TINY)
+    plan = (
+        ev.cusum_changepoints(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_codes_are_consistent_with_tiles(spark):
+    got = ev.rfm_segments(ev.events_table(spark, SF_TINY)).collect()
+    for r in got:
+        assert r.rfm_code == 100 * r.r_q + 10 * r.f_q + r.m_q
+        assert 1 <= r.r_q <= 4 and 1 <= r.f_q <= 4 and 1 <= r.m_q <= 4
+    # tiles are balanced: sizes differ by at most 1 per dimension
+    from collections import Counter
+    for dim in ("r_q", "f_q", "m_q"):
+        sizes = Counter(getattr(r, dim) for r in got).values()
+        assert max(sizes) - min(sizes) <= 1
