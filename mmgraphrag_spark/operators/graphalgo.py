@@ -1213,7 +1213,12 @@ def cooccurrence_graph(
         .crossJoin(F.broadcast(total))
         .selectExpr(
             "src", "dst", "n_xy", "n_x", "n_y", "n_chunks",
-            "n_xy * n_chunks * 1000000L div (n_x * n_y) AS lift_ppm",
+            # numerator promoted to DECIMAL(38,0) (HUGEINT in the twin):
+            # n_xy·n_chunks·10^6 wraps int64 at n_chunks ≈ 3·10^6 (a small
+            # corpus!) while the RESULT is bounded by n_chunks·10^6 — the
+            # hits() overflow pattern; div on decimals stays exact floor
+            "cast(cast(n_xy AS DECIMAL(38,0)) * n_chunks * 1000000"
+            " div (cast(n_x AS DECIMAL(38,0)) * n_y) AS LONG) AS lift_ppm",
         )
     )
 

@@ -508,9 +508,15 @@ def docsim_topk(
     bm25_topk convention), weight w = min(tf, tf_cap) · idf_mil; the score
     is the UNNORMALIZED dot Σ w_a·w_b — like BM25, ranking-oriented, no
     float norm anywhere, so the DuckDB twin hashes bit-identically. Ties
-    break by other_id asc. int64 envelope: w ≤ tf_cap·1000·N; with the
-    default caps the per-pair dot stays far inside int64 up to ~10^7 docs —
-    past that, promote the product to DECIMAL(38,0) (the hits() pattern).
+    break by other_id asc. Overflow contract (the hits() pattern): each
+    w fits int64 up to ~10^12 docs (w ≤ tf_cap·1000·N), but the PAIR
+    product w_a·w_b wraps int64 at only N ≈ 6000 for a df=2 term hitting
+    both caps — so the product and its sum accumulate in DECIMAL(38,0)
+    (HUGEINT in the twin), the top-k RANKS on that exact decimal, and
+    ``dot_w`` is emitted as DOUBLE (both engines apply the same
+    correctly-rounded decimal→double conversion, so the gate still
+    hashes identically; exact to the last digit below 2^53, approximate
+    only in the display column beyond).
 
     Scale shape: terms with df > ``max_df`` are dropped from the FEATURE
     SPACE (stop-word semantics, documented contract — they carry near-zero
@@ -546,7 +552,9 @@ def docsim_topk(
             F.col("b.doc_id").alias("other_id"),
         )
         .agg(
-            F.sum(F.expr("a.w * b.w")).alias("dot_w"),
+            F.sum(
+                F.expr("cast(a.w AS DECIMAL(38,0)) * b.w")
+            ).cast("decimal(38,0)").alias("dot_w"),
             F.count(F.lit(1)).alias("shared_terms"),
         )
     )
@@ -556,6 +564,7 @@ def docsim_topk(
     return (
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
+        .withColumn("dot_w", F.col("dot_w").cast("double"))
     )
 
 

@@ -1137,10 +1137,14 @@ def fused_edges_select() -> str:
     return 'SELECT src, dst, weight, description, source_id, "order" FROM fused_edges'
 
 
-def pagerank_select(
+def _pagerank_ctes(
     iters: int = 5, damping_pct: int = 85, scale: int = 1_000_000_000
 ) -> str:
-    """Twin of operators/graphalgo.pagerank: the same fixed-point integer
+    """CTE chain of the pagerank twin (ends at pr_r{iters}) — shared by
+    pagerank_select and community_reps_select so composition never parses
+    rendered SQL (the _random_walk_ctes pattern).
+
+    Twin of operators/graphalgo.pagerank: the same fixed-point integer
     recurrence unrolled as chained CTEs (one per iteration). Integer sums
     are order-independent, so the value-hash match is exact.
 
@@ -1176,7 +1180,17 @@ def pagerank_select(
     GROUP BY e.v
   ) s ON n.name = s.name
 )"""
-    return s + f"\nSELECT name AS entity_name, rank AS rank_scaled FROM pr_r{iters}"
+    return s
+
+
+def pagerank_select(
+    iters: int = 5, damping_pct: int = 85, scale: int = 1_000_000_000
+) -> str:
+    """Twin of operators/graphalgo.pagerank (see _pagerank_ctes)."""
+    return (
+        _pagerank_ctes(iters, damping_pct, scale)
+        + f"\nSELECT name AS entity_name, rank AS rank_scaled FROM pr_r{iters}"
+    )
 
 
 def triangles_select() -> str:
@@ -1347,8 +1361,11 @@ JOIN ns_deg db ON c.b = db.u
 WHERE c.common * 1000000 // (da.deg + db.deg - c.common) >= {threshold_pm}"""
 
 
-def communities_select(iters: int = 4) -> str:
-    """Twin of operators/graphalgo.label_propagation: synchronous LPA
+def _communities_ctes(iters: int = 4) -> str:
+    """CTE chain of the LPA twin (ends at lp_r{iters}) — shared by
+    communities_select and community_reps_select.
+
+    Twin of operators/graphalgo.label_propagation: synchronous LPA
     unrolled as one (count, argmax) CTE pair per round. The argmax is a
     ROW_NUMBER window ordered (count DESC, label ASC) — the identical
     deterministic tie-break the engine uses — and nodes with no neighbors
@@ -1379,7 +1396,15 @@ def communities_select(iters: int = 4) -> str:
   SELECT r.name, COALESCE(b.lbl, r.lbl) AS lbl
   FROM lp_r{i} r LEFT JOIN lp_b{i} b ON r.name = b.name
 )"""
-    return s + f"\nSELECT name AS entity_name, lbl AS community FROM lp_r{iters}"
+    return s
+
+
+def communities_select(iters: int = 4) -> str:
+    """Twin of operators/graphalgo.label_propagation (see _communities_ctes)."""
+    return (
+        _communities_ctes(iters)
+        + f"\nSELECT name AS entity_name, lbl AS community FROM lp_r{iters}"
+    )
 
 
 def pagerank_weighted_select(
@@ -1892,7 +1917,8 @@ def cooccurrence_graph_select(
   SELECT CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks FROM co_inc
 )
 SELECT p.src, p.dst, p.n_xy, x.n AS n_x, y.n AS n_y, t.n_chunks,
-       p.n_xy * t.n_chunks * 1000000 // (x.n * y.n) AS lift_ppm
+       CAST(CAST(p.n_xy AS HUGEINT) * t.n_chunks * 1000000
+            // (CAST(x.n AS HUGEINT) * y.n) AS BIGINT) AS lift_ppm
 FROM co_pairs p
 JOIN co_marg x ON p.src = x.item
 JOIN co_marg y ON p.dst = y.item
@@ -1901,14 +1927,11 @@ CROSS JOIN co_tot t"""
 
 def community_reps_select(iters: int = 4, pr_iters: int = 5) -> str:
     """Twin of operators/graphalgo.community_representatives: the
-    pagerank_select and communities_select CTE chains composed VERBATIM
-    (their final top-level SELECTs stripped; inner selects are indented so
-    the rsplit is unambiguous), then one argmax window per community."""
-    pr_chain = pagerank_select(pr_iters).rsplit("\nSELECT", 1)[0]
-    lp_chain = communities_select(iters).rsplit("\nSELECT", 1)[0]
+    _pagerank_ctes and _communities_ctes chains composed verbatim (no
+    parsing of rendered SQL), then one argmax window per community."""
     return (
-        pr_chain
-        + lp_chain
+        _pagerank_ctes(pr_iters)
+        + _communities_ctes(iters)
         + f"""
 , cr AS (
   SELECT r.lbl AS community, r.name, p.rank

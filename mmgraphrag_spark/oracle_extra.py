@@ -1738,15 +1738,16 @@ feat AS (
 ),
 pairs AS (
   SELECT a.doc_id AS doc_id, b.doc_id AS other_id,
-         CAST(SUM(a.w * b.w) AS BIGINT) AS dot_w,
+         SUM(CAST(a.w AS HUGEINT) * b.w) AS dot_x,
          CAST(COUNT(*) AS BIGINT) AS shared_terms
   FROM feat a JOIN feat b
     ON a.term = b.term AND a.doc_id <> b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_id, other_id, dot_w, shared_terms, rnk FROM (
+SELECT doc_id, other_id, CAST(dot_x AS DOUBLE) AS dot_w, shared_terms, rnk
+FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-             ORDER BY dot_w DESC, other_id ASC) AS BIGINT) AS rnk
+             ORDER BY dot_x DESC, other_id ASC) AS BIGINT) AS rnk
   FROM pairs
 ) WHERE rnk <= {k}
 """
