@@ -115,11 +115,17 @@ def all_triples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT)
 
 
 def nodes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    return canon.build_nodes(all_mentions(spark, sf_dir, cfg), cfg=cfg)
+    # memoized+persisted like the spans/chunks/parsed prefixes: ~15 of the
+    # driver's queries consume the node relation (qctx family, vdb, fused
+    # variants) — one aggregation instead of one per query, and downstream
+    # plans reference an InMemoryRelation instead of inlining this subtree
+    return _memo("nodes", spark, sf_dir, cfg,
+                 lambda: canon.build_nodes(all_mentions(spark, sf_dir, cfg), cfg=cfg))
 
 
 def edges(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    return canon.build_edges(all_triples(spark, sf_dir, cfg), cfg=cfg)
+    return _memo("edges", spark, sf_dir, cfg,
+                 lambda: canon.build_edges(all_triples(spark, sf_dir, cfg), cfg=cfg))
 
 
 def fusion_blocks(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT) -> DataFrame:
@@ -156,10 +162,17 @@ def fused_graph(
     key = _key("fused", spark, sf_dir, cfg)
     if key not in _fused_cache:
         mm = merge_map(spark, sf_dir, cfg)
-        _fused_cache[key] = fusion.fuse_graph(
+        n, e = fusion.fuse_graph(
             all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm,
             cfg=cfg,
         )
+        # persisted, not just memoized: ~15 graph-analytics queries iterate
+        # over this pair — without persist each re-executed the whole fused
+        # suffix AND inlined its ~200-exchange subtree into every plan
+        # (measured: 2.5 MB explain output and 15 MB task binaries for
+        # kg_linkpred; with the persist the consumers plan against an
+        # InMemoryRelation)
+        _fused_cache[key] = (n.persist(), e.persist())
     return _fused_cache[key]
 
 
@@ -180,7 +193,7 @@ def fused_graph_incremental(
     key = _key("fused_incr", spark, sf_dir, cfg)
     if key not in _fused_cache:
         mm = merge_map(spark, sf_dir, cfg)
-        _fused_cache[key] = fusion.fuse_graph_incremental(
+        n, e = fusion.fuse_graph_incremental(
             nodes(spark, sf_dir, cfg),
             edges(spark, sf_dir, cfg),
             all_mentions(spark, sf_dir, cfg),
@@ -188,6 +201,7 @@ def fused_graph_incremental(
             mm,
             cfg=cfg,
         )
+        _fused_cache[key] = (n.persist(), e.persist())
     return _fused_cache[key]
 
 
@@ -316,10 +330,11 @@ def enhanced_graph(
         blocks = fusion.fusion_blocks(sp, med, img, cfg)
         mm = fusion.merge_map_from_blocks(blocks).persist()
         em = fusion.enhance_map(sp, med, img, mm, cfg).persist()
-        _fused_cache[key] = fusion.enhanced_graph(
+        n, e = fusion.enhanced_graph(
             all_mentions(spark, sf_dir, cfg), all_triples(spark, sf_dir, cfg), mm, em,
             cfg=cfg,
         )
+        _fused_cache[key] = (n.persist(), e.persist())
     return _fused_cache[key]
 
 

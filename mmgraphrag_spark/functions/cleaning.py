@@ -39,10 +39,20 @@ _CTRL = "[\\x00-\\x1f\\x7f-\\x9f]"
 
 
 def clean_str_col(col: Column) -> Column:
-    """Reference clean_str as a flat codegen'd column expression."""
-    out = F.trim(col)
+    """Reference clean_str as a flat codegen'd column expression.
+
+    The named-entity replaces are gated behind one cheap ``contains('&')``
+    probe: every named escape starts with '&', so ampersand-free strings
+    (the overwhelming majority of clean corpora — and these replaces run on
+    every decoded entity/description column) skip all eleven replace passes
+    for the cost of a single substring scan. Identical output by
+    construction.
+    """
+    t = F.trim(col)
+    named = t
     for esc, ch in _NAMED:
-        out = F.replace(out, F.lit(esc), F.lit(ch))
+        named = F.replace(named, F.lit(esc), F.lit(ch))
+    out = F.when(t.contains("&"), named).otherwise(t)
     return F.regexp_replace(out, _CTRL, "")
 
 

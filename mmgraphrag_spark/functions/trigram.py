@@ -45,3 +45,26 @@ def sparse_vectors(df: DataFrame, key_cols: list[str], text_col: str, dims: int)
         .groupBy(*key_cols, "bucket")
         .agg(F.sum("sign").alias("v"))
     )
+
+
+def dense_vectors(df: DataFrame, key_cols: list[str], text_col: str, dims: int) -> DataFrame:
+    """(*key_cols, vec array<long>[dims]): the dense form of
+    :func:`sparse_vectors`, one aggregation per key (missing buckets 0).
+
+    Same numbers as the sparse relation — vec[b] = sum of signs hashed to
+    bucket b — but carried as ONE row per key, so consumers that need whole
+    vectors (dot products against a handful of counterparts, per-block numpy
+    math) attach them with a plain equi-join instead of a posting join plus
+    a per-pair re-aggregation. Built as ``dims`` conditional sums in a
+    SINGLE map-side-combined aggregation over the gram rows (dims is small
+    and fixed — config trigram_dims), replacing the former
+    sparse-groupBy → map-pivot shape that cost a second exchange.
+    """
+    return gram_rows(df, key_cols, text_col, dims).groupBy(*key_cols).agg(
+        F.array(*[
+            F.sum(
+                F.when(F.col("bucket") == i, F.col("sign")).otherwise(F.lit(0))
+            )
+            for i in range(dims)
+        ]).alias("vec")
+    )

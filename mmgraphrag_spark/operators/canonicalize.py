@@ -23,7 +23,7 @@ commutative+associative (sum/min/set-union/count-sum) so the rewrite is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..config import GRAPH_FIELD_SEP, PipelineConfig
 
@@ -88,13 +88,18 @@ def summarize_descriptions_udf(
 
 
 def _mode_type(pairs: DataFrame, keys: list[str]) -> DataFrame:
-    """Deterministic mode of entity_type per key: (count desc, type asc)."""
+    """Deterministic mode of entity_type per key: (count desc, type asc).
+
+    min_by over the (-cnt, entity_type) struct replaces the former
+    row_number window: an aggregate partial-combines map-side and needs no
+    per-partition sort, and the ordering key is unique per row (it embeds
+    entity_type), so the winner is identical to the window's rank-1 row.
+    """
     cnt = pairs.groupBy(*keys, "entity_type").agg(F.count(F.lit(1)).alias("cnt"))
-    win = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("entity_type"))
-    return (
-        cnt.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select(*keys, "entity_type")
+    return cnt.groupBy(*keys).agg(
+        F.min_by(
+            "entity_type", F.struct((-F.col("cnt")).alias("nc"), "entity_type")
+        ).alias("entity_type")
     )
 
 
@@ -225,15 +230,18 @@ def add_stub_nodes(
         *g, F.explode(F.array("src", "dst")).alias("entity_name"),
         "description", "source_id",
     )
-    win = Window.partitionBy(*keys).orderBy("description", "source_id")
+    # first edge by (description, source_id) via min(struct(...)) — the
+    # map-side-combinable twin of the former row_number window (one
+    # candidate row per key leaves each mapper; no per-partition sort)
     missing = (
         endpoints.join(nodes.select(*keys), keys, "left_anti")
-        .withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
+        .groupBy(*keys)
+        .agg(F.min(F.struct("description", "source_id")).alias("s"))
         .select(
             *keys,
             F.lit("UNKNOWN").alias("entity_type"),
-            "description", "source_id",
+            F.col("s.description").alias("description"),
+            F.col("s.source_id").alias("source_id"),
         )
     )
     return nodes.unionByName(missing.select(*keys, "entity_type", "description", "source_id"))

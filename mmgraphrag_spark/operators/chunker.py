@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT, PipelineConfig
 
@@ -41,13 +41,39 @@ def doc_text(docs: DataFrame) -> DataFrame:
     )
 
 
-def chunk_docs(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    """docs(doc_id, spans) -> chunks(chunk_id, doc_id, chunk_order_index, tokens, content)."""
+def _dedup_chunks(raw: DataFrame) -> DataFrame:
+    """Exact dedup on content hash; deterministic winner = lexicographically
+    first (doc_id, chunk_order_index), mirroring the oracle's row_number.
+
+    Implemented as min(struct(...)) per chunk_id rather than a row_number
+    window: the aggregate partial-combines map-side (each mapper forwards one
+    candidate row per key instead of every duplicate) and skips the window's
+    per-partition sort — same winner, since (doc_id, chunk_order_index) is
+    unique per doc and content/tokens are functions of chunk_id.
+    """
+    return (
+        raw.groupBy("chunk_id")
+        .agg(
+            F.min(
+                F.struct("doc_id", "chunk_order_index", "tokens", "content")
+            ).alias("s")
+        )
+        .select(
+            "chunk_id",
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.chunk_order_index").alias("chunk_order_index"),
+            F.col("s.tokens").alias("tokens"),
+            F.col("s.content").alias("content"),
+        )
+    )
+
+
+def _chunk_text(doc: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(doc_id, text) -> deduped chunk rows (the shared chunking body)."""
     step = cfg.chunk_max_tokens - cfg.chunk_overlap_tokens
     mx = cfg.chunk_max_tokens
     raw = (
-        doc_text(docs)
-        .select("doc_id", F.split("text", " ").alias("w"))
+        doc.select("doc_id", F.split("text", " ").alias("w"))
         .withColumn("n_chunks", F.ceil(F.size("w") / step).cast("int"))
         .select(
             "doc_id", "w",
@@ -61,14 +87,39 @@ def chunk_docs(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
         )
         .withColumn("chunk_id", F.concat(F.lit("chunk-"), F.md5("content")))
     )
-    # exact dedup on content hash; deterministic winner = lexicographically
-    # first (doc_id, chunk_order_index), mirroring the oracle's row_number.
-    win = Window.partitionBy("chunk_id").orderBy("doc_id", "chunk_order_index")
-    return (
-        raw.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("chunk_id", "doc_id", "chunk_order_index", "tokens", "content")
+    return _dedup_chunks(raw)
+
+
+def chunk_docs(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """docs(doc_id, spans) -> chunks(chunk_id, doc_id, chunk_order_index, tokens, content)."""
+    return _chunk_text(doc_text(docs), cfg)
+
+
+def chunk_flat_spans(flat: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Chunker over the FLAT spans relation (the pipeline checkpoint form).
+
+    Reassembles each doc's text with ONE text-only aggregation —
+    collect_list((offset, text)) over the text spans, sorted, joined —
+    instead of nesting every span (media rows, kind/media_ref columns
+    included) into the docs form and re-deriving text from the structs.
+    Same output as ``chunk_docs(nest_spans(flat))`` (offsets are unique per
+    doc, so the (offset, text) sort order equals the span order); the
+    shuffle carries only the bytes the chunker consumes.
+    """
+    doc = (
+        flat.filter(F.col("kind") == "text")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(offset, text))),"
+                    " s -> s.text)"
+                ),
+                " ",
+            ).alias("text")
+        )
     )
+    return _chunk_text(doc, cfg)
 
 
 def chunk_docs_udf(
@@ -113,9 +164,4 @@ def chunk_docs_udf(
             yield pd.DataFrame(out)
 
     raw = doc_text(docs).mapInPandas(run, schema=CHUNK_SCHEMA)
-    win = Window.partitionBy("chunk_id").orderBy("doc_id", "chunk_order_index")
-    return (
-        raw.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _dedup_chunks(raw)

@@ -471,11 +471,12 @@ def cooccurrence_lift(
     marginals always use ALL users. The single count N broadcasts (1-row
     cross join). ``min_users`` prunes pairs below a support floor.
 
-    int64 envelope: the lift numerator n_xy·N·10^6 wraps past N ≈ 3·10^6
-    users when a pair co-occurs for most of them — past that scale,
-    promote the numerator to DECIMAL(38,0)/HUGEINT exactly as
-    graphalgo.cooccurrence_graph does (the result itself is bounded by
-    N·10^6 and stays a clean BIGINT).
+    The lift numerator n_xy·N·10^6 runs in DECIMAL(38,0) (the same
+    promotion as graphalgo.cooccurrence_graph): in int64 it would wrap
+    past N ≈ 3·10^6 users when a pair co-occurs for most of them. The
+    result itself is bounded by N·10^6 and stays a clean BIGINT, so the
+    value is unchanged wherever int64 sufficed (`div` on decimals is
+    still exact integral floor).
     """
     ut = events.select("user_id", F.col("event_type").alias("item")).distinct()
     small = (
@@ -510,7 +511,8 @@ def cooccurrence_lift(
             "x", "y", "n_x", "n_y", "n_xy",
             "n_xy * 1000000L div n_users AS support_ppm",
             "n_xy * 1000000L div n_x AS confidence_ppm",
-            "n_xy * n_users * 1000000L div (n_x * n_y) AS lift_ppm",
+            "cast(cast(n_xy AS DECIMAL(38,0)) * n_users * 1000000"
+            " div (cast(n_x AS DECIMAL(38,0)) * n_y) AS LONG) AS lift_ppm",
         )
     )
 
@@ -630,11 +632,22 @@ def cusum_changepoints(
     """
     from pyspark.sql import Window
 
+    # day bucketing must FLOOR like the DuckDB twin's `//` (Spark `div`
+    # truncates toward zero, which would shift pre-1970 timestamps —
+    # negative epoch micros — into the wrong day); the correction term is
+    # exact int64 arithmetic, a no-op for every post-1970 input
     daily = (
         events.select(
             "event_type",
             F.expr(
-                f"unix_micros(cast(ts as timestamp)) div {grain_us}"
+                "unix_micros(cast(ts as timestamp))"
+            ).alias("_us"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"(_us div {grain_us})"
+                f" - (case when _us % {grain_us} < 0 then 1 else 0 end)"
             ).alias("day"),
         )
         .groupBy("event_type", "day")

@@ -143,12 +143,45 @@ def nearby_text_entities(
     flat_spans: DataFrame, media: DataFrame, cfg: PipelineConfig = DEFAULT
 ) -> DataFrame:
     """J2 analogue: distinct text entity surface forms within ±fusion_window
-    words of each media anchor."""
-    words = word_positions(flat_spans, cfg)
+    words of each media anchor.
+
+    Shape: join anchors to the doc's TEXT SPANS first (equi-join on doc_id
+    — docs without media never join), keep only spans whose word range can
+    overlap the ±K window, and explode words from those spans alone. The
+    former shape (word_positions ⋈ anchors) exploded every word of every
+    media doc and ranked spans with a per-doc row_number window; this one
+    explodes O(anchors · K/span_words) spans, and the span index comes in
+    closed form from ``offset`` — the interleave contract
+    (media span after every ``media_every``-th text span) that
+    :func:`media_anchors` already encodes gives, on media docs,
+    offset(text i) = i + i div every, inverted by
+    i = (offset div (every+1))·every + offset mod (every+1).
+    Zero exchanges beyond the one doc_id join; no window, no sort.
+    """
     anchors = media_anchors(media, cfg)
-    K = cfg.fusion_window
+    K, W, every = cfg.fusion_window, cfg.span_words, cfg.media_every
+    txt = flat_spans.filter(F.col("kind") == "text").select(
+        "doc_id", "offset", "text"
+    )
+    spans_near = (
+        anchors.join(txt, "doc_id")
+        .withColumn(
+            "span_idx",
+            F.expr(f"(offset div {every + 1}) * {every}"
+                   f" + offset % {every + 1}"),
+        )
+        # span i covers words [i*W, i*W + W): overlap with [anchor-K, anchor+K)
+        .filter(
+            (F.col("span_idx") * W < F.col("anchor") + K)
+            & (F.col("span_idx") * W + W > F.col("anchor") - K)
+        )
+    )
     return (
-        anchors.join(words, "doc_id")
+        spans_near.select(
+            "doc_id", "media_ref", "anchor", "span_idx",
+            F.posexplode(F.split("text", " ")).alias("j", "tok"),
+        )
+        .withColumn("wpos", F.col("span_idx") * W + F.col("j"))
         .filter(
             (F.col("wpos") >= F.col("anchor") - K)
             & (F.col("wpos") < F.col("anchor") + K)
@@ -351,34 +384,51 @@ def fusion_blocks(
     # trigram vectors computed ONCE per distinct surface, JVM-side codegen
     # (functions.trigram == trigram_vector bit-for-bit, unit-tested), then
     # broadcast-joined onto the block rows — the per-block Python sees dense
-    # int arrays and does only the numpy math
-    from ..functions.trigram import sparse_vectors
+    # int arrays and does only the numpy math. dense_vectors builds the
+    # array in ONE map-side-combined aggregation (dims conditional sums);
+    # the former sparse-groupBy → map-pivot shape cost a second exchange.
+    from ..functions.trigram import dense_vectors
 
     surf = both.select("surface").distinct()
-    dense = (
-        sparse_vectors(surf, ["surface"], "surface", dims)
-        .groupBy("surface")
-        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m"))
-        .select(
-            "surface",
-            F.array(*[
-                F.coalesce(F.element_at("m", F.lit(i)), F.lit(0)) for i in range(dims)
-            ]).alias("vec"),
-        )
-    )
+    dense = dense_vectors(surf, ["surface"], "surface", dims)
     # plain equi-join on surface: AQE broadcasts the vocab side while it is
     # small and falls back to a shuffled join at web-corpus vocabulary sizes
     both = both.join(dense, "surface")
     # explicit partition count: the per-block numpy work is row-compute-bound,
     # not byte-bound, so AQE's byte-based coalescing misjudges it (measured:
     # coalesced to 10 tasks with an 18.9 s straggler at local[32]). 4x the
-    # cluster parallelism gives the scheduler slack to smooth block skew;
-    # HashPartitioning(media_ref, N) already satisfies the groupBy's
-    # distribution requirement, so no second exchange is inserted.
+    # cluster parallelism gives the scheduler slack to smooth block skew.
+    # mapInPandas over the hash-partitioned rows + a pandas groupby INSIDE
+    # the task replaces groupBy().applyInPandas: blocks are tiny (a handful
+    # of rows each), and applyInPandas pays one Arrow batch + one Python
+    # call per GROUP, which at ~6 rows/block made the boundary overhead —
+    # not the numpy math — the stage cost. Here a task materializes its
+    # whole partition once (bounded by the shuffle partition size, the
+    # same envelope any aggregation task holds) and loops the groups in
+    # plain pandas. Identical rows: hash partitioning on media_ref keeps
+    # every block whole within one task.
     nparts = 4 * both.sparkSession.sparkContext.defaultParallelism
-    return both.repartition(nparts, "media_ref").groupBy("media_ref").applyInPandas(
-        lambda pdf: _fuse_block(pdf, eps, merge_t2, cluster_t2, dims, knn),
-        schema=FUSION_SCHEMA,
+
+    def run_partition(batches):
+        import pandas as pd
+
+        dfs = list(batches)
+        if not dfs:
+            return
+        part = pd.concat(dfs, ignore_index=True)
+        outs = [
+            _fuse_block(g, eps, merge_t2, cluster_t2, dims, knn)
+            for _, g in part.groupby("media_ref", sort=False)
+        ]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    # project to exactly what _fuse_block consumes BEFORE the exchange and
+    # the Python boundary (the join key 'surface' duplicated the vec's
+    # information into every shuffled row)
+    cols = both.select("doc_id", "media_ref", "entity_name", "side", "vec")
+    return cols.repartition(nparts, "media_ref").mapInPandas(
+        run_partition, schema=FUSION_SCHEMA
     )
 
 

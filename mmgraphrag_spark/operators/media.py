@@ -149,18 +149,36 @@ def ori_img_mentions(media: DataFrame) -> DataFrame:
     )
 
 
-def image_mentions(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    """E7+E8+E10a union: all image-side entity mentions."""
-    scene = scene_mentions(media, cfg).select(
+def image_mentions(
+    media: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    scene: DataFrame | None = None,
+    objects: DataFrame | None = None,
+) -> DataFrame:
+    """E7+E8+E10a union: all image-side entity mentions.
+
+    ``scene`` / ``objects`` accept precomputed (possibly persisted)
+    scene_mentions / detect_objects relations so a caller materializing
+    both image outputs (the pipeline media stage) evaluates each
+    distinct-bearing subtree once instead of once per output.
+    """
+    scene = (scene if scene is not None else scene_mentions(media, cfg)).select(
         "doc_id", "entity_name", "entity_type", "description", "source_id"
     )
-    objs = object_mentions(detect_objects(media, cfg)).select(
+    objs = object_mentions(
+        objects if objects is not None else detect_objects(media, cfg)
+    ).select(
         "doc_id", "entity_name", "entity_type", "description", "source_id"
     )
     return scene.unionByName(objs).unionByName(ori_img_mentions(media))
 
 
-def alignment_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+def alignment_triples(
+    media: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    scene: DataFrame | None = None,
+    objects: DataFrame | None = None,
+) -> DataFrame:
     """E9: explicit crop→scene alignment relations
     (/root/reference/mmgraphrag/img2graph.py:386-417: per object crop, an
     mm-LLM alignment call emits a relationship record naming the scene entity
@@ -170,19 +188,29 @@ def alignment_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFr
     its own media block whose surface is most trigram-cosine-similar to the
     object's label (exact int64 rank key, ties → min scene name; objects whose
     label hashes to the zero vector emit nothing). Weight 10 like the other
-    image-internal edges. Plan shape: trigram vectors via one keyed groupBy,
-    pair dots via an equi-join on (surface, bucket), argmax via one window —
-    shuffle-bounded, no all-pairs beyond the tiny per-block object×scene set.
+    image-internal edges.
+
+    Plan shape: ONE dense trigram aggregation over the distinct surfaces
+    (functions.trigram.dense_vectors — dims conditional sums, map-side
+    combined), the whole vector + its norm attached to each pair side with
+    a plain (AQE-broadcast) equi-join, dot = the dims-term codegen sum, and
+    the per-object argmax as a min_by aggregate. This replaces the former
+    posting join on (surface, bucket) + per-pair re-aggregation + separate
+    norm relation + row_number window — five exchanges and their AQE stage
+    barriers gone for identical numbers; no all-pairs beyond the tiny
+    per-block object×scene set either way.
     """
-    from ..functions.trigram import sparse_vectors
+    from functools import reduce
+
+    from ..functions.trigram import dense_vectors
 
     dims = cfg.trigram_dims
-    objs = detect_objects(media, cfg).select(
+    objs = (objects if objects is not None else detect_objects(media, cfg)).select(
         "doc_id", "media_ref",
         F.concat(F.upper("media_ref"), F.lit("/"), F.upper("label")).alias("obj_name"),
         F.upper("label").alias("osurf"),
     ).distinct()
-    scns = scene_mentions(media, cfg).select(
+    scns = (scene if scene is not None else scene_mentions(media, cfg)).select(
         "doc_id", F.col("source_id").alias("media_ref"),
         F.col("entity_name").alias("scn_name"),
         F.expr("split(entity_name, '@')[0]").alias("ssurf"),
@@ -192,25 +220,33 @@ def alignment_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFr
         .union(scns.select(F.col("ssurf").alias("s")))
         .distinct()
     )
-    vec = sparse_vectors(surfaces, ["s"], "s", dims)
-    norms = vec.groupBy("s").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    n2 = reduce(
+        lambda a, b: a + b,
+        [F.get("vec", i) * F.get("vec", i) for i in range(dims)],
+    )
+    dv = dense_vectors(surfaces, ["s"], "s", dims).withColumn("n2", n2)
 
     pairs = objs.join(scns, ["doc_id", "media_ref"])
-    need = pairs.select("osurf", "ssurf").distinct()
-    dots = (
-        need.join(vec.withColumnRenamed("s", "osurf").withColumnRenamed("v", "va"), "osurf")
-        .join(
-            vec.withColumnRenamed("s", "ssurf").withColumnRenamed("v", "vb"),
-            ["ssurf", "bucket"],
-        )
-        .groupBy("osurf", "ssurf")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    dot = reduce(
+        lambda a, b: a + b,
+        [F.get("va", i) * F.get("vb", i) for i in range(dims)],
     )
     scored = (
-        pairs.join(dots, ["osurf", "ssurf"], "left")
-        .join(norms.withColumnRenamed("s", "osurf").withColumnRenamed("n2", "na2"), "osurf")
-        .join(norms.withColumnRenamed("s", "ssurf").withColumnRenamed("n2", "nb2"), "ssurf")
-        .withColumn("dot", F.coalesce("dot", F.lit(0)))
+        pairs.join(
+            dv.select(
+                F.col("s").alias("osurf"), F.col("vec").alias("va"),
+                F.col("n2").alias("na2"),
+            ),
+            "osurf",
+        )
+        .join(
+            dv.select(
+                F.col("s").alias("ssurf"), F.col("vec").alias("vb"),
+                F.col("n2").alias("nb2"),
+            ),
+            "ssurf",
+        )
+        .withColumn("dot", dot)
         .withColumn(
             "rank_key",
             F.expr(
@@ -219,12 +255,14 @@ def alignment_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFr
             ),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id", "media_ref", "obj_name").orderBy(
-        F.desc("rank_key"), F.asc("scn_name")
+    # argmax scene per object: min_by over the (-rank_key, scn_name) struct —
+    # the ordering key embeds scn_name, so the winner is unique and equals
+    # the former window's (rank_key desc, scn_name asc) rank-1 row
+    best = scored.groupBy("doc_id", "media_ref", "obj_name").agg(
+        F.min_by(
+            "scn_name", F.struct((-F.col("rank_key")).alias("nk"), "scn_name")
+        ).alias("scn_name")
     )
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return best.select(
         "doc_id",
         F.least("obj_name", "scn_name").alias("subj"),
@@ -236,16 +274,21 @@ def alignment_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFr
     )
 
 
-def image_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+def image_triples(
+    media: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+    scene: DataFrame | None = None,
+    objects: DataFrame | None = None,
+) -> DataFrame:
     """E10b: weight-10 containment edges (entity -> its ORI_IMG node), plus
-    E9 crop→scene alignment relations (alignment_triples)."""
+    E9 crop→scene alignment relations (alignment_triples). ``scene`` /
+    ``objects`` as in :func:`image_mentions`."""
+    scn = scene if scene is not None else scene_mentions(media, cfg)
+    obj = objects if objects is not None else detect_objects(media, cfg)
     members = (
-        scene_mentions(media, cfg)
-        .select("doc_id", "media_ref", "entity_name")
+        scn.select("doc_id", "media_ref", "entity_name")
         .unionByName(
-            object_mentions(detect_objects(media, cfg)).select(
-                "doc_id", "media_ref", "entity_name"
-            )
+            object_mentions(obj).select("doc_id", "media_ref", "entity_name")
         )
     )
     contained = members.select(
@@ -257,4 +300,6 @@ def image_triples(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
         F.col("media_ref").alias("source_id"),
         F.lit(1).alias("order"),
     )
-    return contained.unionByName(alignment_triples(media, cfg))
+    return contained.unionByName(
+        alignment_triples(media, cfg, scene=scn, objects=obj)
+    )

@@ -257,13 +257,35 @@ class Pipeline:
         note = produced.pop("__note__", None)
         if note:
             inputs = [*inputs, f"note:{note}"]
-        # a callable value is resolved only after every table BEFORE it in
-        # dict order has been written — lets a later output derive from an
-        # earlier output's checkpoint instead of recomputing its plan
-        counts = {
-            t: self._write(df() if callable(df) else df, t)
-            for t, df in produced.items()
-        }
+        # Plain DataFrame outputs are INDEPENDENT jobs: submit them from a
+        # small thread pool so the second write's tasks back-fill executors
+        # freed by the first write's straggler tail (a shared persisted
+        # subtree — e.g. decode's parsed cache — is computed once either
+        # way: the block manager's per-block locks make the loser wait,
+        # not recompute). A callable value is resolved only after EVERY
+        # plain output has been written, in dict order — lets a later
+        # output derive from an earlier output's checkpoint instead of
+        # recomputing its plan.
+        plain = [(t, df) for t, df in produced.items() if not callable(df)]
+        derived = [(t, df) for t, df in produced.items() if callable(df)]
+        counts: dict[str, int] = {}
+        if len(plain) > 1:
+            import concurrent.futures as cf
+
+            def _w(t, df, desc=f"stage:{name}"):
+                self.spark.sparkContext.setJobDescription(desc)
+                return t, self._write(df, t)
+
+            with cf.ThreadPoolExecutor(max_workers=len(plain)) as pool:
+                futs = [pool.submit(_w, t, df) for t, df in plain]
+                for fut in futs:
+                    t, n = fut.result()  # re-raises
+                    counts[t] = n
+        else:
+            for t, df in plain:
+                counts[t] = self._write(df, t)
+        for t, df in derived:
+            counts[t] = self._write(df(), t)
         if cleanup is not None:
             cleanup()
         self._log_lineage(name, counts, inputs, int((time.perf_counter() - t0) * 1000))
@@ -295,7 +317,7 @@ class Pipeline:
             return {"spans": synth.spans_from_docs(docs, cfg)}
 
         def _chunks():
-            return {"chunks": chunker.chunk_docs(synth.nest_spans(self.read("spans")), cfg)}
+            return {"chunks": chunker.chunk_flat_spans(self.read("spans"), cfg)}
 
         # raw grammar strings get their own checkpoint: (a) the expensive
         # Python stage (LLM in production) runs exactly once even though two
@@ -326,9 +348,21 @@ class Pipeline:
 
         def _media():
             med = media.media_spans(self.read("spans"))
+            # the two outputs share the scene-mention and object-detection
+            # subtrees (each carries its own distinct-exchange): persist both
+            # for the stage's writes so the caption explode + dedup runs once
+            # per relation instead of once per consuming output (3x for
+            # detect_objects: mentions, containment members, alignment)
+            scene = media.scene_mentions(med, cfg).persist()
+            objs = media.detect_objects(med, cfg).persist()
             return {
-                "img_mentions": media.image_mentions(med, cfg),
-                "img_triples": media.image_triples(med, cfg),
+                "img_mentions": media.image_mentions(
+                    med, cfg, scene=scene, objects=objs
+                ),
+                "img_triples": media.image_triples(
+                    med, cfg, scene=scene, objects=objs
+                ),
+                "__cleanup__": lambda: (scene.unpersist(), objs.unpersist()),
             }
 
         def _graph():

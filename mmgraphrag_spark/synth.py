@@ -50,37 +50,44 @@ def spans_from_docs(docs: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame
         "orig_id", "doc_id", "w",
         F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("i"),
     )
+    # offset = dense 0-based order within the doc (text span before its media
+    # span) in CLOSED FORM, derivable at explode time because the interleave
+    # rule is deterministic: rows before text span i are the i text spans
+    # plus the media spans emitted after text spans j < i (those with
+    # (j+1) % every == 0, i.e. floor(i/every) of them — media docs only), so
+    #   offset(text i)  = i + (media doc ? i div every : 0)
+    #   offset(media i) = offset(text i) + 1.
+    # Equal to the former per-doc row_number window by construction (the
+    # window ordered by (i, sub) enumerates exactly this sequence) but with
+    # zero exchange and zero sort: the spans derivation is now a pure narrow
+    # scan->explode->project pipeline.
+    has_media = F.col("orig_id") % mod == 0
+    t_off = (
+        F.col("i")
+        + F.when(has_media, F.expr(f"i div {every}")).otherwise(F.lit(0))
+    ).cast("int")
     tspans = idx.select(
-        "doc_id", "i",
-        F.lit(0).alias("sub"),
+        "doc_id",
         F.lit("text").alias("kind"),
         F.array_join(F.expr(f"slice(w, i*{w}+1, {w})"), " ").alias("text"),
         F.lit("").alias("media_ref"),
+        t_off.alias("offset"),
     )
     mspans = (
-        idx.filter((F.col("orig_id") % mod == 0) & ((F.col("i") + 1) % every == 0))
+        idx.filter(has_media & ((F.col("i") + 1) % every == 0))
         .select(
-            "doc_id", "i",
-            F.lit(1).alias("sub"),
+            "doc_id",
             F.lit("image").alias("kind"),
             F.array_join(F.expr(f"slice(w, i*{w}+1, {cap})"), " ").alias("text"),
             F.concat(
                 F.col("doc_id"), F.lit("/image_"),
                 F.expr(f"(i+1) div {every}").cast("string"),
             ).alias("media_ref"),
+            (t_off + 1).alias("offset"),
         )
     )
-    union = tspans.unionByName(mspans)
-    # offset = dense 0-based order within the doc (text span before its media
-    # span). A per-doc window matches the oracle's row_number exactly; docs
-    # are small so the partition-local sort is cheap and the partitioning by
-    # doc_id is reused by the downstream chunker groupBy.
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("doc_id").orderBy("i", "sub")
-    return (
-        union.withColumn("offset", (F.row_number().over(win) - 1).cast("int"))
-        .select("doc_id", "kind", "text", "media_ref", "offset")
+    return tspans.unionByName(mspans).select(
+        "doc_id", "kind", "text", "media_ref", "offset"
     )
 
 

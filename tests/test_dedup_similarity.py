@@ -887,8 +887,14 @@ def test_docsim_plan_has_no_unbounded_nested_loop(spark):
     q = textstats.docsim_topk(d)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # every BNLJ build side is a 1-row aggregate (the scalar count),
-    # recognizable because the plan's BNLJ sections sit under the final
-    # count aggregate — cheap structural proxy: at most 2 BNLJs and the
-    # string 'count(1)' appears in the plan (the scalar build)
+    # every BNLJ build side is a 1-row aggregate (the scalar count):
+    # at most 2 BNLJs, the scalar count(1) build must actually be present,
+    # and the posting self-join must stay an EQUI-join (hash or sort-merge)
+    # so a regression cannot smuggle the pair join into a nested loop
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "count(1)" in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )

@@ -365,6 +365,23 @@ def test_linkpred_ra_finds_the_missing_edge(spark):
     assert all((g[0], g[1]) not in sym for g in got)
 
 
+def test_linkpred_ra_topk_plans_as_takeordered(spark):
+    """The global top-k must reach the physical plan as
+    TakeOrderedAndProject (Catalyst's LimitPushDownThroughWindow rewrites
+    the rank<=k filter over the unpartitioned window into a limit pushed
+    below it), so the full non-adjacent candidate set is reduced to k rows
+    per partition BEFORE anything moves to one task — the bpe_pair_counts
+    contract. The surviving Window node then ranks only the k limited rows."""
+    edf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    plan = (
+        graphalgo.linkpred_ra(edf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_degree_distribution_buckets(spark):
     # degrees: a:1 b:2 c:3 hub:8 -> buckets floor(log2): 0,1,1,3
     edges = (

@@ -37,6 +37,18 @@ def test_media_chunk_match_tie_breaks_to_lowest_index(spark):
     assert got[0].chunk_id == "cA"
 
 
+def test_entity_vdb_topk_plans_as_takeordered(spark):
+    """entity_vdb_topk's global top-k must plan as TakeOrderedAndProject
+    (limit pushed below the unpartitioned rank window), never a
+    single-partition sort/window over the whole thresholded candidate set
+    — the same contract as linkpred_ra / bpe_pair_counts."""
+    plan = (
+        api.entity_vdb_topk(spark, SF_TINY)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_qctx_budget_monotone(spark):
     edges = api.qctx_edges(spark, SF_TINY).toPandas()
     assert len(edges) > 0
