@@ -222,133 +222,153 @@ def _dbscan(X, eps: float, min_samples: int):
     return labels
 
 
-def _fuse_block(pdf, eps: float, merge_t2: int, cluster_t2: int,
-                dims: int, knn: int):
-    """One media block: exact-integer components + spectral twin + kNN
-    majority transfer + threshold judge.
+def _fuse_partition(part, eps: float, merge_t2: int, cluster_t2: int,
+                    dims: int, knn: int):
+    """Every media block of one shuffle partition: exact-integer components +
+    spectral twin + kNN majority transfer + threshold judge.
 
-    Returns FUSION_SCHEMA rows: per text entity one 'cluster' row (component
+    Emits FUSION_SCHEMA rows: per text entity one 'cluster' row (component
     label + canonical representative = min entity_name in the component) and
     one 'spectral' row (DBSCAN label on the spectral embedding); per accepted
     image→text merge one 'merge' row.
+
+    Layout: ONE sort by (media_ref, side, entity_name) puts each block
+    contiguous with its image rows leading ('image' < 'text') and both sides
+    name-sorted; blocks are then index slices over flat numpy arrays. The
+    per-block work (vstack, slicing, three DataFrame constructions, concat)
+    that the former per-block function paid on every ~6-row group — measured
+    as the dominant term of the stage, ~1.3 ms/block against microseconds of
+    numpy math — happens once per PARTITION here; outputs accumulate in
+    plain lists and build a single frame.
     """
     import numpy as np
     import pandas as pd
 
-    txt = (
-        pdf[pdf["side"] == "text"]
-        .sort_values("entity_name").reset_index(drop=True)
+    part = part.sort_values(
+        ["media_ref", "side", "entity_name"], ignore_index=True
     )
-    img = (
-        pdf[pdf["side"] == "image"]
-        .sort_values("entity_name").reset_index(drop=True)
-    )
-    empty = pd.DataFrame({
-        "doc_id": pd.Series(dtype=object), "media_ref": pd.Series(dtype=object),
-        "kind": pd.Series(dtype=object), "entity_name": pd.Series(dtype=object),
-        "label": pd.Series(dtype="int64"), "new_name": pd.Series(dtype=object),
-    })
-    if len(txt) == 0:
-        return empty
-
-    n = len(txt)
+    refs = part["media_ref"].to_numpy()
+    sides = part["side"].to_numpy()
+    names = part["entity_name"].to_numpy()
+    docs = part["doc_id"].to_numpy()
     # vectors arrive precomputed from the JVM trigram stage (fusion_blocks):
     # one codegen pass per DISTINCT surface corpus-wide, instead of hashlib
     # md5 per gram per block occurrence (hot Zipf surfaces appear in ~every
     # block — measured as the round-2 fusion-stage scaling killer)
-    V_t = np.vstack(txt["vec"].to_numpy()).astype(np.int64)
-    n2_t = (V_t * V_t).sum(1)
+    V = np.vstack(part["vec"].to_numpy()).astype(np.int64)
+    n_all = len(part)
 
-    # ---- M6 clusters = connected components of the thresholded affinity ----
-    # exact integers; txt is name-sorted, so BFS from ascending index gives
-    # component rep = min entity_name (the canonical label the oracle derives)
-    D_tt = V_t @ V_t.T
-    adj = (D_tt > 0) & (
-        D_tt.astype(np.int64) ** 2 * TRIGRAM_SCALE
-        >= cluster_t2 * np.outer(n2_t, n2_t)
-    )
-    np.fill_diagonal(adj, False)
-    comp = np.full(n, -1, dtype=np.int64)
-    reps: list[str] = []
-    for i in range(n):
-        if comp[i] != -1:
+    o_doc: list = []
+    o_ref: list = []
+    o_kind: list = []
+    o_name: list = []
+    o_label: list = []
+    o_new: list = []
+
+    starts = np.flatnonzero(np.r_[True, refs[1:] != refs[:-1]])
+    ends = np.r_[starts[1:], n_all]
+    for s, e in zip(starts, ends):
+        # image rows lead the block; first text row splits the slice
+        t0 = s + int(np.searchsorted(sides[s:e], "text", side="left"))
+        n = e - t0
+        if n == 0:
             continue
-        cid = len(reps)
-        reps.append(txt["entity_name"].iat[i])
-        stack = [i]
-        comp[i] = cid
-        while stack:
-            p = stack.pop()
-            for q in np.nonzero(adj[p])[0]:
-                if comp[q] == -1:
-                    comp[q] = cid
-                    stack.append(int(q))
-    clusters = pd.DataFrame({
-        "doc_id": txt["doc_id"], "media_ref": txt["media_ref"],
-        "kind": "cluster", "entity_name": txt["entity_name"],
-        "label": comp,
-        "new_name": [reps[c] for c in comp],
-    })
+        tnames = names[t0:e]
+        V_t = V[t0:e]
+        n2_t = (V_t * V_t).sum(1)
 
-    # ---- M2/M3/M4 spectral twin (real math, NumPy-oracle-verified) ---------
-    with np.errstate(divide="ignore", invalid="ignore"):
-        U = np.where(n2_t[:, None] > 0, V_t / np.sqrt(n2_t)[:, None], 0.0)
-    A = U @ U.T
-    A = np.clip(A, 0.0, None)
-    np.fill_diagonal(A, 0.0)
-    if n >= 2:
-        # M3: unnormalized Laplacian, k = max(2, ceil(sqrt(n))) smallest
-        # eigenvectors of the symmetrized L (reference fusion.py:228-243)
-        L = np.diag(A.sum(1)) - A
-        vals, vecs = np.linalg.eigh((L + L.T) / 2.0)
-        k = min(n, max(2, math.ceil(math.sqrt(n))))
-        Y = vecs[:, :k]
-        # M4: DBSCAN on the spectral embedding (fusion.py:245-251)
-        slabels = _dbscan(Y, eps, max(1, math.ceil(n / 10)))
-    else:
-        slabels = np.zeros(n, dtype=np.int64)
-    spectral = pd.DataFrame({
-        "doc_id": txt["doc_id"], "media_ref": txt["media_ref"],
-        "kind": "spectral", "entity_name": txt["entity_name"],
-        "label": slabels.astype("int64"), "new_name": None,
-    })
-    if len(img) == 0:
-        return pd.concat([clusters, spectral], ignore_index=True)
+        # ---- M6 clusters = components of the thresholded affinity ----------
+        # exact integers; text rows are name-sorted, so BFS from ascending
+        # index gives component rep = min entity_name (the oracle's label)
+        D_tt = V_t @ V_t.T
+        adj = (D_tt > 0) & (
+            D_tt.astype(np.int64) ** 2 * TRIGRAM_SCALE
+            >= cluster_t2 * np.outer(n2_t, n2_t)
+        )
+        np.fill_diagonal(adj, False)
+        comp = np.full(n, -1, dtype=np.int64)
+        reps: list[str] = []
+        for i in range(n):
+            if comp[i] != -1:
+                continue
+            cid = len(reps)
+            reps.append(tnames[i])
+            stack = [i]
+            comp[i] = cid
+            while stack:
+                p = stack.pop()
+                for q in np.nonzero(adj[p])[0]:
+                    if comp[q] == -1:
+                        comp[q] = cid
+                        stack.append(int(q))
+        o_doc.extend(docs[t0:e]); o_ref.extend(refs[t0:e])
+        o_kind.extend(["cluster"] * n); o_name.extend(tnames)
+        o_label.extend(int(c) for c in comp)
+        o_new.extend(reps[c] for c in comp)
 
-    # ---- M5 kNN majority-label transfer + M7 threshold judge ---------------
-    V_i = np.vstack(img["vec"].to_numpy()).astype(np.int64)
-    n2_i = (V_i * V_i).sum(1)
-    D_it = V_i @ V_t.T
-    out = []
-    tnames = txt["entity_name"].to_numpy()
-    for a in range(len(img)):
-        keys = [
-            (-_rank_key(int(D_it[a, j]), int(n2_i[a]), int(n2_t[j])), tnames[j], j)
-            for j in range(n)
-        ]
-        keys.sort()
-        top = keys[: min(knn, n)]
-        # majority component label over the k nearest; ties go to the
-        # component holding the nearest candidate (kNN-faithful: the closest
-        # neighbor dominates when votes split)
-        votes: dict[int, int] = {}
-        first: dict[int, int] = {}
-        for idx, (_, _, j) in enumerate(top):
-            c = int(comp[j])
-            votes[c] = votes.get(c, 0) + 1
-            first.setdefault(c, idx)
-        maj = min(votes, key=lambda c: (-votes[c], first[c]))
-        # target = nearest text entity within the majority component
-        in_comp = [t for t in keys if comp[t[2]] == maj]
-        _, _, j = in_comp[0]
-        if _int_cos_ge(int(D_it[a, j]), int(n2_i[a]), int(n2_t[j]), merge_t2):
-            out.append((img["doc_id"].iat[a], img["media_ref"].iat[a], "merge",
-                        img["entity_name"].iat[a], int(maj), tnames[j]))
-    merges = pd.DataFrame(
-        out, columns=["doc_id", "media_ref", "kind", "entity_name", "label",
-                      "new_name"],
-    ) if out else empty
-    return pd.concat([clusters, spectral, merges], ignore_index=True)
+        # ---- M2/M3/M4 spectral twin (real math, NumPy-oracle-verified) -----
+        with np.errstate(divide="ignore", invalid="ignore"):
+            U = np.where(n2_t[:, None] > 0, V_t / np.sqrt(n2_t)[:, None], 0.0)
+        A = U @ U.T
+        A = np.clip(A, 0.0, None)
+        np.fill_diagonal(A, 0.0)
+        if n >= 2:
+            # M3: unnormalized Laplacian, k = max(2, ceil(sqrt(n))) smallest
+            # eigenvectors of the symmetrized L (reference fusion.py:228-243)
+            L = np.diag(A.sum(1)) - A
+            vals, vecs = np.linalg.eigh((L + L.T) / 2.0)
+            k = min(n, max(2, math.ceil(math.sqrt(n))))
+            Y = vecs[:, :k]
+            # M4: DBSCAN on the spectral embedding (fusion.py:245-251)
+            slabels = _dbscan(Y, eps, max(1, math.ceil(n / 10)))
+        else:
+            slabels = np.zeros(n, dtype=np.int64)
+        o_doc.extend(docs[t0:e]); o_ref.extend(refs[t0:e])
+        o_kind.extend(["spectral"] * n); o_name.extend(tnames)
+        o_label.extend(int(x) for x in slabels)
+        o_new.extend([None] * n)
+
+        # ---- M5 kNN majority-label transfer + M7 threshold judge -----------
+        m = t0 - s
+        if m == 0:
+            continue
+        V_i = V[s:t0]
+        n2_i = (V_i * V_i).sum(1)
+        D_it = V_i @ V_t.T
+        for a in range(m):
+            keys = [
+                (-_rank_key(int(D_it[a, j]), int(n2_i[a]), int(n2_t[j])),
+                 tnames[j], j)
+                for j in range(n)
+            ]
+            keys.sort()
+            top = keys[: min(knn, n)]
+            # majority component label over the k nearest; ties go to the
+            # component holding the nearest candidate (kNN-faithful: the
+            # closest neighbor dominates when votes split)
+            votes: dict[int, int] = {}
+            first: dict[int, int] = {}
+            for idx, (_, _, j) in enumerate(top):
+                c = int(comp[j])
+                votes[c] = votes.get(c, 0) + 1
+                first.setdefault(c, idx)
+            maj = min(votes, key=lambda c: (-votes[c], first[c]))
+            # target = nearest text entity within the majority component
+            in_comp = [t for t in keys if comp[t[2]] == maj]
+            _, _, j = in_comp[0]
+            if _int_cos_ge(int(D_it[a, j]), int(n2_i[a]), int(n2_t[j]), merge_t2):
+                o_doc.append(docs[s + a]); o_ref.append(refs[s + a])
+                o_kind.append("merge"); o_name.append(names[s + a])
+                o_label.append(int(maj)); o_new.append(tnames[j])
+
+    return pd.DataFrame({
+        "doc_id": pd.Series(o_doc, dtype=object),
+        "media_ref": pd.Series(o_ref, dtype=object),
+        "kind": pd.Series(o_kind, dtype=object),
+        "entity_name": pd.Series(o_name, dtype=object),
+        "label": pd.Series(o_label, dtype="int64"),
+        "new_name": pd.Series(o_new, dtype=object),
+    })
 
 
 def fusion_blocks(
@@ -398,15 +418,14 @@ def fusion_blocks(
     # not byte-bound, so AQE's byte-based coalescing misjudges it (measured:
     # coalesced to 10 tasks with an 18.9 s straggler at local[32]). 4x the
     # cluster parallelism gives the scheduler slack to smooth block skew.
-    # mapInPandas over the hash-partitioned rows + a pandas groupby INSIDE
-    # the task replaces groupBy().applyInPandas: blocks are tiny (a handful
-    # of rows each), and applyInPandas pays one Arrow batch + one Python
-    # call per GROUP, which at ~6 rows/block made the boundary overhead —
-    # not the numpy math — the stage cost. Here a task materializes its
-    # whole partition once (bounded by the shuffle partition size, the
-    # same envelope any aggregation task holds) and loops the groups in
-    # plain pandas. Identical rows: hash partitioning on media_ref keeps
-    # every block whole within one task.
+    # mapInPandas over the hash-partitioned rows + block slicing INSIDE the
+    # task (_fuse_partition) replaces groupBy().applyInPandas: blocks are
+    # tiny (a handful of rows each), and applyInPandas pays one Arrow batch
+    # + one Python call per GROUP, which at ~6 rows/block made the boundary
+    # overhead — not the numpy math — the stage cost. A task materializes
+    # its whole partition once (bounded by the shuffle partition size, the
+    # same envelope any aggregation task holds). Identical rows: hash
+    # partitioning on media_ref keeps every block whole within one task.
     nparts = 4 * both.sparkSession.sparkContext.defaultParallelism
 
     def run_partition(batches):
@@ -416,12 +435,8 @@ def fusion_blocks(
         if not dfs:
             return
         part = pd.concat(dfs, ignore_index=True)
-        outs = [
-            _fuse_block(g, eps, merge_t2, cluster_t2, dims, knn)
-            for _, g in part.groupby("media_ref", sort=False)
-        ]
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+        if len(part):
+            yield _fuse_partition(part, eps, merge_t2, cluster_t2, dims, knn)
 
     # project to exactly what _fuse_block consumes BEFORE the exchange and
     # the Python boundary (the join key 'surface' duplicated the vec's

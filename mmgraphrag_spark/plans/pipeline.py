@@ -368,13 +368,19 @@ class Pipeline:
         def _graph():
             cols_m = ["entity_name", "entity_type", "description", "source_id"]
             cols_t = ["subj", "obj", "description", "weight", "source_id", "order"]
+            # spread=False: these reads feed straight into keyed aggregations
+            # (build_edges/build_nodes), which re-exchange on their group
+            # keys anyway — a round-robin repartition first would shuffle
+            # the full mention/triple payload twice for no extra map
+            # parallelism beyond the scan's own splits (A/B at the 100k-doc
+            # fixture: see OPTIMIZATION_r06.md)
             all_m = (
-                self.read("mentions").select(cols_m)
-                .unionByName(self.read("img_mentions").select(cols_m))
+                self.read("mentions", spread=False).select(cols_m)
+                .unionByName(self.read("img_mentions", spread=False).select(cols_m))
             )
             all_t = (
-                self.read("triples").select(cols_t)
-                .unionByName(self.read("img_triples").select(cols_t))
+                self.read("triples", spread=False).select(cols_t)
+                .unionByName(self.read("img_triples", spread=False).select(cols_t))
             )
             # nodes' stub rule consumes edges, so naively the edges
             # aggregation (the stage's biggest groupBy over the triples
@@ -408,13 +414,15 @@ class Pipeline:
         def _fused_graph():
             cols_m = ["entity_name", "entity_type", "description", "source_id"]
             cols_t = ["subj", "obj", "description", "weight", "source_id", "order"]
+            # spread=False as in _graph: the rewiring is broadcast joins
+            # (narrow) and both strategies end in keyed aggregations
             all_m = (
-                self.read("mentions").select(cols_m)
-                .unionByName(self.read("img_mentions").select(cols_m))
+                self.read("mentions", spread=False).select(cols_m)
+                .unionByName(self.read("img_mentions", spread=False).select(cols_m))
             )
             all_t = (
-                self.read("triples").select(cols_t)
-                .unionByName(self.read("img_triples").select(cols_t))
+                self.read("triples", spread=False).select(cols_t)
+                .unionByName(self.read("img_triples", spread=False).select(cols_t))
             )
             mm = fusion.merge_map_from_blocks(
                 self.read("fusion_blocks", spread=False)
