@@ -69,10 +69,15 @@ def pagerank(
     nodes, and both oracle and engine share the semantics). The DuckDB twin
     (`oracle.pagerank_select`) unrolls the same recurrence as chained CTEs.
     """
+    # edge+degree relation built once and the per-round state eagerly
+    # localCheckpointed — the lineage-flattening pattern every other
+    # iterative algorithm here uses: without it each unrolled round embeds
+    # every earlier round's subtree, and the optimizer re-walks a plan that
+    # grows multiplicatively with the iteration count (measured on the PPR
+    # sibling: a 10 MB plan string before, flat after)
     sym = symmetric_edges(edges)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    # edge+degree relation: built once, reused by every iteration's join
-    ed = sym.join(deg, "u")
+    ed = sym.join(deg, "u").localCheckpoint(eager=True)
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select(
         F.col("entity_name").alias("name"), F.lit(scale).cast("long").alias("rank")
@@ -95,6 +100,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks.select(
         F.col("name").alias("entity_name"), F.col("rank").alias("rank_scaled")
@@ -377,9 +383,12 @@ def personalized_pagerank(
     (one equi-join + one combined agg per iteration, ReuseExchange on the
     edge+degree relation); the seed flag is a broadcast-joined bit column.
     """
+    # lineage flattened per round like every other iterative algorithm here
+    # (this one measured a 10 MB plan string / ~1.5k plan Exchanges through
+    # the qctx_edges_ppr composition before the localCheckpoints)
     sym = symmetric_edges(edges)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = sym.join(deg, "u")
+    ed = sym.join(deg, "u").localCheckpoint(eager=True)
     flagged = nodes.select(F.col("entity_name").alias("name")).join(
         F.broadcast(
             seeds.select(F.col("entity_name").alias("name"), F.lit(1).alias("seed"))
@@ -390,7 +399,7 @@ def personalized_pagerank(
     base = (100 - damping_pct) * scale // 100
     ranks = flagged.select(
         "name", "seed", (F.lit(scale).cast("long") * F.col("seed")).alias("rank")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = (
             ed.join(ranks.select(F.col("name").alias("u"), "rank"), "u")
@@ -408,6 +417,7 @@ def personalized_pagerank(
                     + F.expr(f"({damping_pct} * coalesce(contrib, 0L)) div 100")
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks.select(
         F.col("name").alias("entity_name"), F.col("rank").alias("rank_scaled")
@@ -569,7 +579,8 @@ def pagerank_weighted(
         .distinct()
     )
     wdeg = wsym.groupBy("u").agg(F.sum("w").alias("wsum"))
-    ed = wsym.join(wdeg, "u")
+    # lineage flattened per round — see pagerank
+    ed = wsym.join(wdeg, "u").localCheckpoint(eager=True)
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select(
         F.col("entity_name").alias("name"), F.lit(scale).cast("long").alias("rank")
@@ -587,7 +598,7 @@ def pagerank_weighted(
                 F.lit(base).cast("long")
                 + F.expr(f"({damping_pct} * coalesce(contrib, 0L)) div 100")
             ).alias("rank"),
-        )
+        ).localCheckpoint(eager=True)
     return ranks.select(
         F.col("name").alias("entity_name"), F.col("rank").alias("rank_scaled")
     )
