@@ -52,21 +52,30 @@ def scene_mentions(media: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame
     # names image entities independently of the text side (reference: the
     # mm-LLM invents names, img2graph.py:419-441); the fusion stage (M2-M7)
     # decides which of them merge into text entities.
+    # Dedup FIRST on the short natural key (doc, ref, tok, type) — every
+    # output column is a pure function of it, so projecting the
+    # entity-name/description concats AFTER the distinct is value-identical
+    # while the exchange carries raw tokens instead of the ~3x-longer
+    # concatenated strings (and the concat/upper work skips duplicates).
     return (
         toks.filter(F.length("tok") >= cfg.mention_min_len)
         .select(
-            "doc_id", "media_ref",
-            F.concat(F.upper("tok"), F.lit("@"), F.upper("media_ref")).alias("entity_name"),
+            "doc_id", "media_ref", "tok",
             F.when(F.length("tok") >= cfg.concept_min_len, F.lit("CONCEPT"))
             .when(F.col("pos") % 2 == 0, F.lit("TERM"))
             .otherwise(F.lit("LABEL"))
             .alias("entity_type"),
+        )
+        .distinct()
+        .select(
+            "doc_id", "media_ref",
+            F.concat(F.upper("tok"), F.lit("@"), F.upper("media_ref")).alias("entity_name"),
+            "entity_type",
             F.concat(F.col("tok"), F.lit(" in "), F.col("media_ref")).alias(
                 "description"
             ),
             F.col("media_ref").alias("source_id"),
         )
-        .distinct()
     )
 
 
@@ -124,8 +133,13 @@ def detect_objects_udf(
 
 
 def object_mentions(objects: DataFrame) -> DataFrame:
-    """E8: detected objects -> IMG-typed entity mentions."""
-    return objects.select(
+    """E8: detected objects -> IMG-typed entity mentions.
+
+    Dedup on the short (doc, ref, label) key first (this distinct also
+    collapses the detector's per-position duplicates), THEN project the
+    name/description concats — value-identical, smaller exchange.
+    """
+    return objects.select("doc_id", "media_ref", "label").distinct().select(
         "doc_id", "media_ref",
         F.concat(F.upper("media_ref"), F.lit("/"), F.upper("label")).alias(
             "entity_name"
@@ -133,7 +147,7 @@ def object_mentions(objects: DataFrame) -> DataFrame:
         F.lit("IMG").alias("entity_type"),
         F.concat(F.lit("object "), F.col("label")).alias("description"),
         F.col("media_ref").alias("source_id"),
-    ).distinct()
+    )
 
 
 def ori_img_mentions(media: DataFrame) -> DataFrame:
@@ -205,11 +219,20 @@ def alignment_triples(
     from ..functions.trigram import dense_vectors
 
     dims = cfg.trigram_dims
-    objs = (objects if objects is not None else detect_objects(media, cfg)).select(
-        "doc_id", "media_ref",
-        F.concat(F.upper("media_ref"), F.lit("/"), F.upper("label")).alias("obj_name"),
-        F.upper("label").alias("osurf"),
-    ).distinct()
+    # distinct on the short (doc, ref, label) key, concats projected after
+    # (same value set — obj_name/osurf are functions of the key)
+    objs = (
+        (objects if objects is not None else detect_objects(media, cfg))
+        .select("doc_id", "media_ref", "label")
+        .distinct()
+        .select(
+            "doc_id", "media_ref",
+            F.concat(
+                F.upper("media_ref"), F.lit("/"), F.upper("label")
+            ).alias("obj_name"),
+            F.upper("label").alias("osurf"),
+        )
+    )
     scns = (scene if scene is not None else scene_mentions(media, cfg)).select(
         "doc_id", F.col("source_id").alias("media_ref"),
         F.col("entity_name").alias("scn_name"),
