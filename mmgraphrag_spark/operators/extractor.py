@@ -211,19 +211,27 @@ def _fstrip(col):
 
 
 def parse_records(raw: DataFrame) -> DataFrame:
-    """E2/E3: grammar string -> one row per record, fields pre-stripped into
-    NAMED columns ``(nf, f0..f3, flast)``.
+    """E2/E3: grammar string -> one row per record, fields pre-stripped AND
+    pre-cleaned into NAMED columns ``(nf, f0, c1, c2, c3, flast)``.
 
     The decoders only ever consume the tag, fields 1-3, and the last field
     (weight), so the record is decomposed once at parse time: per-field
     anchored quote-strips (:func:`_fstrip`) replace the old whole-record
     lookbehind-alternation regexp — measured 8.0 s -> 1.8 s for the parse
     pass at 100k docs/local[32] — and the work happens BEFORE the stage
-    cache, so both decode scans read final values. Unconsumed middle fields
-    of over-arity records are dropped (``nf`` preserves the arity for the
-    P2 filters). No higher-order-function lambdas anywhere: those evaluate
-    interpreted and fall out of whole-stage codegen.
+    cache, so both decode scans read final values. The P1 clean + upper
+    transforms live here too: both decoders apply IDENTICAL
+    clean_str(upper(f1)) / clean_str(upper(f2)) / clean_str(f3)
+    expressions, so hoisting them above the cache halves that work (it
+    formerly ran once per decoder over the cached relation):
+    ``c1 = clean_str(upper(f1))``, ``c2 = clean_str(upper(f2))``,
+    ``c3 = clean_str(f3)``. Unconsumed middle fields of over-arity records
+    are dropped (``nf`` preserves the arity for the P2 filters). No
+    higher-order-function lambdas anywhere: those evaluate interpreted and
+    fall out of whole-stage codegen.
     """
+    from ..functions.cleaning import clean_str_col
+
     recs = raw.select(
         "doc_id", "chunk_id",
         F.explode(F.split("output", r"##|<\|COMPLETE\|>")).alias("rec"),
@@ -236,9 +244,9 @@ def parse_records(raw: DataFrame) -> DataFrame:
         "doc_id", "chunk_id",
         F.size("fr").alias("nf"),
         _fstrip(F.get("fr", F.lit(0))).alias("f0"),
-        _fstrip(F.get("fr", F.lit(1))).alias("f1"),
-        _fstrip(F.get("fr", F.lit(2))).alias("f2"),
-        _fstrip(F.get("fr", F.lit(3))).alias("f3"),
+        clean_str_col(F.upper(_fstrip(F.get("fr", F.lit(1))))).alias("c1"),
+        clean_str_col(F.upper(_fstrip(F.get("fr", F.lit(2))))).alias("c2"),
+        clean_str_col(_fstrip(F.get("fr", F.lit(3)))).alias("c3"),
         _fstrip(F.element_at("fr", -1)).alias("flast"),
     ).filter((F.col("nf") >= 1) & (F.length("f0") > 0))
 
@@ -247,15 +255,13 @@ def decode_mentions(parsed: DataFrame) -> DataFrame:
     """E4: entity records -> mentions(doc_id, chunk_id, entity_name, entity_type,
     description, source_id). Distinct (the reference's per-name dict collapses
     duplicate records within a chunk)."""
-    from ..functions.cleaning import clean_str_col
-
     return (
         parsed.filter((F.col("nf") >= 4) & (F.col("f0") == "entity"))
         .select(
             "doc_id", "chunk_id",
-            clean_str_col(F.upper("f1")).alias("entity_name"),
-            clean_str_col(F.upper("f2")).alias("entity_type"),
-            clean_str_col(F.col("f3")).alias("description"),
+            F.col("c1").alias("entity_name"),
+            F.col("c2").alias("entity_type"),
+            F.col("c3").alias("description"),
         )
         .filter(F.length("entity_name") > 0)  # P3, text2graph.py:58-59
         .distinct()
@@ -273,15 +279,13 @@ def decode_triples(parsed: DataFrame) -> DataFrame:
     """E5: relationship records -> triples with canonical undirected key
     (least/greatest, reference edge-key sort text2graph.py:436-437) and
     float-regex weight fallback (P5)."""
-    from ..functions.cleaning import clean_str_col
-
     rels = parsed.filter(
         (F.col("nf") >= 5) & (F.col("f0") == "relationship")
     ).select(
         "doc_id", "chunk_id",
-        clean_str_col(F.upper("f1")).alias("a"),
-        clean_str_col(F.upper("f2")).alias("b"),
-        clean_str_col(F.col("f3")).alias("description"),
+        F.col("c1").alias("a"),
+        F.col("c2").alias("b"),
+        F.col("c3").alias("description"),
         # weight = LAST field (reference uses record_attributes[-1],
         # text2graph.py:125-127), trimmed (split_string_by_multi_markers
         # strips each field, base.py:58-63)
